@@ -1,0 +1,162 @@
+"""Parity tests for core ops against torch/torchvision oracles (CPU)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from objcavit_tpu.ops import (
+    bins_to_depth,
+    grid_sample_bilinear,
+    masked_chamfer_1d,
+    ps_roi_align_1x1,
+    resize_bilinear,
+)
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((7, 9), (15, 20)), ((15, 20), (7, 9)), ((8, 8), (8, 8)), ((5, 5), (1, 3))],
+)
+def test_resize_bilinear_matches_torch(align_corners, in_hw, out_hw):
+    x = RNG.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), *out_hw, align_corners))
+    want = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        size=out_hw,
+        mode="bilinear",
+        align_corners=align_corners,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_matches_torch():
+    grid = RNG.standard_normal((6, 8, 4), dtype=np.float32)
+    # include points well outside [-1, 1] (reference relies on zero padding)
+    pts = RNG.uniform(-3.0, 3.0, size=(50, 2)).astype(np.float32)
+    got = np.asarray(grid_sample_bilinear(jnp.asarray(grid), jnp.asarray(pts)))
+    t_grid = torch.from_numpy(grid).permute(2, 0, 1)[None]  # 1,C,H,W
+    t_pts = torch.from_numpy(pts).view(1, 1, -1, 2)
+    want = (
+        F.grid_sample(t_grid, t_pts, mode="bilinear", padding_mode="zeros",
+                      align_corners=False)
+        .squeeze(2).squeeze(0).permute(1, 0).numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _np_bilinear_tap(grid, y, x):
+    """torchvision bilinear_interpolate (scalar), numpy oracle."""
+    h, w, _ = grid.shape
+    if y <= -1.0 or y >= h or x <= -1.0 or x >= w:
+        return np.zeros(grid.shape[-1], dtype=grid.dtype)
+    y, x = max(y, 0.0), max(x, 0.0)
+    y_low, x_low = int(y), int(x)
+    if y_low >= h - 1:
+        y_high = y_low = h - 1
+        y = float(y_low)
+    else:
+        y_high = y_low + 1
+    if x_low >= w - 1:
+        x_high = x_low = w - 1
+        x = float(x_low)
+    else:
+        x_high = x_low + 1
+    ly, lx = y - y_low, x - x_low
+    hy, hx = 1.0 - ly, 1.0 - lx
+    return (
+        grid[y_low, x_low] * hy * hx
+        + grid[y_low, x_high] * hy * lx
+        + grid[y_high, x_low] * ly * hx
+        + grid[y_high, x_high] * ly * lx
+    )
+
+
+def _np_ps_roi_align_1x1(grid, boxes, spatial_scale):
+    """Numpy oracle for torchvision.ops.ps_roi_align with output_size (1, 1),
+    sampling_ratio=-1, written from the published kernel algorithm."""
+    out = np.zeros((boxes.shape[0], grid.shape[-1]), dtype=grid.dtype)
+    for i, (bx1, by1, bx2, by2) in enumerate(boxes):
+        x1 = bx1 * spatial_scale - 0.5
+        y1 = by1 * spatial_scale - 0.5
+        x2 = bx2 * spatial_scale - 0.5
+        y2 = by2 * spatial_scale - 0.5
+        roi_w = max(x2 - x1, 0.1)
+        roi_h = max(y2 - y1, 0.1)
+        n_w = int(np.ceil(roi_w))
+        n_h = int(np.ceil(roi_h))
+        acc = np.zeros(grid.shape[-1], dtype=np.float64)
+        for iy in range(n_h):
+            yy = y1 + (iy + 0.5) * roi_h / n_h
+            for ix in range(n_w):
+                xx = x1 + (ix + 0.5) * roi_w / n_w
+                acc += _np_bilinear_tap(grid, yy, xx)
+        out[i] = acc / (n_h * n_w)
+    return out
+
+
+@pytest.mark.parametrize("spatial_scale", [1.0 / 16, 1.0 / 32])
+def test_ps_roi_align_1x1_matches_torchvision_algorithm(spatial_scale):
+    c = 8
+    grid = RNG.standard_normal((15, 20, c), dtype=np.float32)
+    # boxes in full-res pixels, xyxy, some degenerate/partially out of range
+    x1 = RNG.uniform(0, 250, size=(12,))
+    y1 = RNG.uniform(0, 180, size=(12,))
+    bw = RNG.uniform(0.0, 200, size=(12,))
+    bh = RNG.uniform(0.0, 150, size=(12,))
+    boxes = np.stack([x1, y1, x1 + bw, y1 + bh], axis=1).astype(np.float32)
+
+    got = np.asarray(
+        ps_roi_align_1x1(jnp.asarray(grid), jnp.asarray(boxes), spatial_scale)
+    )
+    want = _np_ps_roi_align_1x1(grid, boxes, spatial_scale)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_chamfer_matches_bruteforce():
+    n, p, t = 3, 16, 200
+    x = RNG.uniform(0.001, 10, size=(n, p)).astype(np.float32)
+    y = RNG.uniform(0.001, 10, size=(n, t)).astype(np.float32)
+    mask = RNG.uniform(size=(n, t)) < 0.7
+    mask[:, 0] = True  # at least one valid point per row
+
+    got = float(masked_chamfer_1d(jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)))
+
+    # brute-force pytorch3d-default semantics
+    cham_x = np.zeros(n)
+    cham_y = np.zeros(n)
+    for i in range(n):
+        yv = y[i][mask[i]]
+        d = (x[i][:, None] - yv[None, :]) ** 2
+        cham_x[i] = d.min(axis=1).mean()
+        cham_y[i] = d.min(axis=0).mean()
+    want = cham_x.mean() + cham_y.mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bins_to_depth_matches_reference_math():
+    n, k, h, w = 2, 10, 4, 5
+    min_d, max_d = 0.001, 10.0
+    widths = RNG.uniform(0.1, 1.0, size=(n, k)).astype(np.float32)
+    widths = widths / widths.sum(axis=1, keepdims=True)
+    logits = RNG.standard_normal((n, h, w, k)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+
+    depth, edges = bins_to_depth(jnp.asarray(widths), jnp.asarray(probs), min_d, max_d)
+
+    # torch-style reference computation (AdaBins.py:79-88)
+    tw = torch.from_numpy(widths) * (max_d - min_d)
+    tw = F.pad(tw, (1, 0), mode="constant", value=min_d)
+    te = torch.cumsum(tw, dim=1)
+    tc = 0.5 * (te[:, :-1] + te[:, 1:])
+    tp = torch.from_numpy(probs).permute(0, 3, 1, 2)
+    td = torch.sum(tp * tc.view(n, k, 1, 1), dim=1, keepdim=True)
+    np.testing.assert_allclose(np.asarray(edges), te.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(depth)[..., 0], td.squeeze(1).numpy(), rtol=1e-5, atol=1e-6
+    )
