@@ -1,0 +1,55 @@
+"""AdaBins depth model (reference modules/AdaBins.py).
+
+forward: image -> DenseFeatureExtractor -> miniViT (bin widths + range maps)
+-> 1x1 conv + softmax over bins -> expectation over bin centres = depth.
+Returns a dict {depth_pred (B, H/2, W/2, 1), bin_edges (B, K+1)}.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from objcavit_tpu.models.common import TorchConv
+from objcavit_tpu.models.decoder import DenseFeatureExtractor
+from objcavit_tpu.models.minivit import MiniViT
+from objcavit_tpu.ops.bins import bins_to_depth
+
+
+class AdaBins(nn.Module):
+    encoder_name: str = "efficientnet-b5"
+    n_bins: int = 256
+    min_depth: float = 0.001
+    max_depth: float = 10.0
+    do_final_upscale: bool = False
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        unet_out = DenseFeatureExtractor(
+            self.encoder_name, do_final_upscale=self.do_final_upscale,
+            drop_path_rate=self.drop_path_rate, dtype=self.dtype,
+            name="dense_feature_extractor",
+        )(image, train)
+
+        max_seq_len = 1200 if self.do_final_upscale else 500
+        bin_widths_normed, range_maps = MiniViT(
+            in_channels=128, n_query_channels=128, patch_size=16,
+            dim_out=self.n_bins, embed_dim=128, norm="linear",
+            max_seq_len=max_seq_len, dtype=self.dtype, attn_impl=self.attn_impl,
+            name="adaptive_bins_layer",
+        )(unet_out, deterministic=not train)
+
+        logits = TorchConv(self.n_bins, (1, 1), dtype=self.dtype, name="conv_out")(
+            range_maps
+        )
+        probs = nn.softmax(logits, axis=-1)
+        depth, edges = bins_to_depth(
+            bin_widths_normed.astype(jnp.float32), probs.astype(jnp.float32),
+            self.min_depth, self.max_depth,
+        )
+        return {"depth_pred": depth, "bin_edges": edges}

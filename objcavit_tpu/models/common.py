@@ -1,0 +1,273 @@
+"""Shared flax building blocks: torch-compatible inits, conv/BN, MBConv family.
+
+Everything is NHWC. Parameter initialisers replicate torch defaults so that
+training-from-scratch matches the reference's initial distributions:
+  * torch Linear/Conv default: kaiming_uniform(a=sqrt(5)) for weights ->
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)); bias U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+  * nn.MultiheadAttention in_proj: xavier_uniform
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """torch kaiming_uniform(a=sqrt(5)) for conv (HWIO) / linear (I, O) kernels.
+
+    With a=sqrt(5): gain = sqrt(2/(1+5)) = 1/sqrt(3), so the uniform bound
+    sqrt(3)*gain/sqrt(fan_in) collapses to 1/sqrt(fan_in).
+    """
+    if len(shape) == 2:  # linear (in, out)
+        fan_in = shape[0]
+    else:  # conv HWIO
+        fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init_for(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """nn.Linear with torch default initialisation."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init, (in_features, self.features)
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_bias_init_for(in_features), (self.features,)
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class TorchConv(nn.Module):
+    """nn.Conv2d with torch default initialisation, NHWC, HWIO kernels.
+
+    padding follows flax conventions; 'SAME' reproduces TF-style asymmetric
+    same-padding, which is exactly what the tf_efficientnet_* encoders use.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Any = "SAME"
+    feature_group_count: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel_shape = (kh, kw, in_features // self.feature_group_count, self.features)
+        kernel = self.param("kernel", torch_kernel_init, kernel_shape)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=tuple(self.strides),
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            fan_in = kh * kw * (in_features // self.feature_group_count)
+            bias = self.param("bias", torch_bias_init_for(fan_in), (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d matching torch semantics (eps/momentum configurable)."""
+
+    epsilon: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=1.0 - self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Stochastic depth on the residual branch (per-sample)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / keep
+
+
+class SqueezeExcite(nn.Module):
+    """EfficientNet SE block: squeeze to se_channels, SiLU, expand, sigmoid."""
+
+    se_channels: int
+    dtype: Dtype = jnp.float32
+    gate: Callable = jax.nn.sigmoid
+    act: Callable = jax.nn.silu
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = TorchConv(self.se_channels, (1, 1), dtype=self.dtype, name="reduce")(s)
+        s = self.act(s)
+        s = TorchConv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
+        return x * self.gate(s)
+
+
+class ConvBnAct(nn.Module):
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    bn_eps: float = 1e-3
+    act: Callable | None = jax.nn.silu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchConv(
+            self.features, self.kernel_size, self.strides, use_bias=False,
+            dtype=self.dtype, name="conv",
+        )(x)
+        x = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="bn")(
+            x, use_running_average=not train
+        )
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class MBConv(nn.Module):
+    """EfficientNet inverted-residual block (expand -> dw -> SE -> project)."""
+
+    out_channels: int
+    expand_ratio: float
+    kernel_size: int
+    stride: int
+    se_ratio: float = 0.25
+    drop_path_rate: float = 0.0
+    bn_eps: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        mid = int(in_ch * self.expand_ratio)
+        h = x
+        if self.expand_ratio != 1:
+            h = ConvBnAct(mid, (1, 1), bn_eps=self.bn_eps, dtype=self.dtype,
+                          name="expand")(h, train)
+        # depthwise
+        h = TorchConv(
+            mid, (self.kernel_size, self.kernel_size), (self.stride, self.stride),
+            feature_group_count=mid, use_bias=False, dtype=self.dtype, name="dw_conv",
+        )(h)
+        h = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="dw_bn")(
+            h, use_running_average=not train
+        )
+        h = jax.nn.silu(h)
+        if self.se_ratio > 0:
+            se_ch = max(1, int(in_ch * self.se_ratio))
+            h = SqueezeExcite(se_ch, dtype=self.dtype, name="se")(h)
+        h = ConvBnAct(self.out_channels, (1, 1), bn_eps=self.bn_eps, act=None,
+                      dtype=self.dtype, name="project")(h, train)
+        if self.stride == 1 and in_ch == self.out_channels:
+            rng = self.make_rng("droppath") if (train and self.drop_path_rate > 0) else None
+            h = drop_path(h, self.drop_path_rate, not train, rng)
+            h = h + x
+        return h
+
+
+class DepthwiseSeparable(nn.Module):
+    """EfficientNet stage-0 block: dw conv -> SE -> pw project (no expansion)."""
+
+    out_channels: int
+    kernel_size: int
+    stride: int
+    se_ratio: float = 0.25
+    drop_path_rate: float = 0.0
+    bn_eps: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        h = TorchConv(
+            in_ch, (self.kernel_size, self.kernel_size), (self.stride, self.stride),
+            feature_group_count=in_ch, use_bias=False, dtype=self.dtype, name="dw_conv",
+        )(x)
+        h = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="dw_bn")(
+            h, use_running_average=not train
+        )
+        h = jax.nn.silu(h)
+        if self.se_ratio > 0:
+            se_ch = max(1, int(in_ch * self.se_ratio))
+            h = SqueezeExcite(se_ch, dtype=self.dtype, name="se")(h)
+        h = ConvBnAct(self.out_channels, (1, 1), bn_eps=self.bn_eps, act=None,
+                      dtype=self.dtype, name="project")(h, train)
+        if self.stride == 1 and in_ch == self.out_channels:
+            rng = self.make_rng("droppath") if (train and self.drop_path_rate > 0) else None
+            h = drop_path(h, self.drop_path_rate, not train, rng)
+            h = h + x
+        return h
+
+
+class FusedMBConv(nn.Module):
+    """EfficientNet-V2 fused block: full 3x3 conv expand -> project (no SE)."""
+
+    out_channels: int
+    expand_ratio: float
+    kernel_size: int
+    stride: int
+    drop_path_rate: float = 0.0
+    bn_eps: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        mid = int(in_ch * self.expand_ratio)
+        if self.expand_ratio != 1:
+            h = ConvBnAct(mid, (self.kernel_size,) * 2, (self.stride,) * 2,
+                          bn_eps=self.bn_eps, dtype=self.dtype, name="expand")(x, train)
+            h = ConvBnAct(self.out_channels, (1, 1), bn_eps=self.bn_eps, act=None,
+                          dtype=self.dtype, name="project")(h, train)
+        else:
+            h = ConvBnAct(self.out_channels, (self.kernel_size,) * 2,
+                          (self.stride,) * 2, bn_eps=self.bn_eps,
+                          dtype=self.dtype, name="project")(x, train)
+        if self.stride == 1 and in_ch == self.out_channels:
+            rng = self.make_rng("droppath") if (train and self.drop_path_rate > 0) else None
+            h = drop_path(h, self.drop_path_rate, not train, rng)
+            h = h + x
+        return h

@@ -1,0 +1,110 @@
+"""U-Net decoder + DenseFeatureExtractor (reference DenseFeatureExtractor.py).
+
+Parity notes:
+  * ``conv2`` is a 1x1 conv with padding=1 — an odd reference quirk that adds
+    a ring of zero-padding and grows the bottleneck by 2px per side
+    (DenseFeatureExtractor.py:57). Replicated via explicit ((1,1),(1,1)) pad.
+  * Each up-stage bilinearly resizes to the skip's spatial dims with
+    align_corners=True, concatenates, then 2x [conv3x3 -> BN -> LeakyReLU]
+    (UpSampleWithSkip, :30-47).
+  * Optional final_upscale uses the raw input image as the skip (:89-91).
+  * Final conv3x3 -> 128 channels ("features" mode) or 1 ("output" mode).
+
+Decoder channel flow (B5): 2048 -> up1 1024 -> up2 512 -> up3 256 -> up4 128.
+Output is half the input resolution (stem stride 2 = the /2 skip).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from objcavit_tpu.models.common import BatchNorm, TorchConv
+from objcavit_tpu.models.efficientnet import ENCODER_SPECS, EfficientNetEncoder
+from objcavit_tpu.ops.resize import resize_bilinear
+
+
+class UpSampleWithSkip(nn.Module):
+    out_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        x = resize_bilinear(x, skip.shape[1], skip.shape[2], align_corners=True)
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        for i in range(2):
+            x = TorchConv(
+                self.out_features, (3, 3), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, name=f"conv{i}",
+            )(x)
+            x = BatchNorm(dtype=self.dtype, name=f"bn{i}")(
+                x, use_running_average=not train
+            )
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        return x
+
+
+class Decoder(nn.Module):
+    encoder_name: str
+    num_classes: int = 128
+    mode: str = "features"
+    do_final_upscale: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, image, train: bool = False):
+        """features: [skip0(/2), skip1(/4), skip2(/8), skip3(/16), bottleneck(/32)]"""
+        skip0, skip1, skip2, skip3, bottleneck = features
+        num_features = ENCODER_SPECS[self.encoder_name].head_channels
+
+        # reference quirk: 1x1 conv with padding=1 (adds a zero ring)
+        x = TorchConv(
+            num_features, (1, 1), padding=((1, 1), (1, 1)), dtype=self.dtype,
+            name="conv2",
+        )(bottleneck)
+        x = UpSampleWithSkip(num_features // 2, dtype=self.dtype, name="up1")(
+            x, skip3, train
+        )
+        x = UpSampleWithSkip(num_features // 4, dtype=self.dtype, name="up2")(
+            x, skip2, train
+        )
+        x = UpSampleWithSkip(num_features // 8, dtype=self.dtype, name="up3")(
+            x, skip1, train
+        )
+        x = UpSampleWithSkip(num_features // 16, dtype=self.dtype, name="up4")(
+            x, skip0, train
+        )
+        if self.do_final_upscale:
+            x = UpSampleWithSkip(
+                num_features // 16, dtype=self.dtype, name="final_upscale"
+            )(x, image, train)
+        out_ch = self.num_classes if self.mode == "features" else 1
+        x = TorchConv(
+            out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv3"
+        )(x)
+        return x
+
+
+class DenseFeatureExtractor(nn.Module):
+    """Encoder + U-Net decoder -> (B, H/2, W/2, 128) dense features."""
+
+    encoder_name: str
+    do_final_upscale: bool = False
+    mode: str = "features"
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        features = EfficientNetEncoder(
+            self.encoder_name, drop_path_rate=self.drop_path_rate,
+            dtype=self.dtype, name="encoder",
+        )(image, train)
+        return Decoder(
+            self.encoder_name, num_classes=128, mode=self.mode,
+            do_final_upscale=self.do_final_upscale, dtype=self.dtype,
+            name="decoder",
+        )(features, image, train)
