@@ -1,0 +1,174 @@
+"""Split-file-driven NYU/KITTI datasets with a synthetic fallback.
+
+Replicates datasets/NYUD2.py, datasets/KITTI.py and the path handling of the
+legacy loader (datasets/dataloader.py:96-135): split lines are
+``image_path depth_path focal`` (KITTI train lines add right-camera paths at
+indices 3/4), leading slashes are stripped, and KITTI eval samples with
+missing GT are dropped-and-retried.
+
+When the dataset root does not exist (this image carries no NYU/KITTI data),
+``make_dataset`` returns a deterministic synthetic dataset with the same
+sample contract — used by --debug runs, tests, and benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+
+from objcavit_tpu.data import preprocess as pp
+
+
+def remove_leading_slash(s: str) -> str:
+    return s[1:] if s and s[0] in ("/", "\\") else s
+
+
+class DepthDataset:
+    """One dataset+mode (train / online_eval) view over a split file."""
+
+    def __init__(self, args: Any, mode: str):
+        self.args = args
+        self.mode = mode
+        self.dataset = args.basic.dataset
+        self.dcfg = args[self.dataset]
+        self.use_old_dl = bool(args.basic.get("use_adabins_dataloader"))
+
+        split_file = (
+            self.dcfg.filenames_file_train
+            if mode == "train"
+            else self.dcfg.filenames_file_eval
+        )
+        with open(split_file, "r") as f:
+            self.filenames = [ln for ln in f.read().splitlines() if ln.strip()]
+
+        base = os.path.join(args.paths.data_dir, self.dcfg.base_path)
+        if self.dataset == "kitti":
+            self.data_path = os.path.join(base, self.dcfg.data_path)
+            self.gt_path = os.path.join(base, self.dcfg.gt_path)
+        else:
+            sub = self.dcfg.train_path if mode == "train" else self.dcfg.eval_path
+            self.data_path = os.path.join(base, sub)
+            self.gt_path = self.data_path
+
+        self.train_dims = tuple(self.dcfg.dimensions_train)
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def _paths(self, line: str, rng: np.random.Generator):
+        parts = line.split()
+        use_right = (
+            self.mode == "train"
+            and self.dataset == "kitti"
+            and self.dcfg.get("use_right") is True
+            and rng.random() > 0.5
+        )
+        i_img, i_dep = (3, 4) if use_right and len(parts) > 4 else (0, 1)
+        image_path = os.path.join(self.data_path, remove_leading_slash(parts[i_img]))
+        depth_path = os.path.join(self.gt_path, remove_leading_slash(parts[i_dep]))
+        return image_path, depth_path, float(parts[2])
+
+    def get(self, idx: int, rng: np.random.Generator) -> dict:
+        """Returns {'image' HWC f32, 'depth' HWC f32, 'focal', paths...}.
+
+        Train images come out ready for the device: old_dl path is already
+        ImageNet-normalised; new path is [0,1] (device augments+normalises).
+        """
+        from PIL import Image
+
+        line = self.filenames[idx % len(self.filenames)]
+        image_path, depth_path, focal = self._paths(line, rng)
+
+        image_u8 = np.asarray(Image.open(image_path).convert("RGB"))
+        depth_raw = None
+        if os.path.exists(depth_path):
+            depth_raw = np.asarray(Image.open(depth_path), dtype=np.float32)
+        elif self.mode == "online_eval":
+            # KITTI missing-GT convention: drop the sample and retry
+            # (KITTI.py:81-83, dataloader.py:188-192)
+            del self.filenames[idx % len(self.filenames)]
+            return self.get(idx, rng)
+
+        if self.mode == "train":
+            assert depth_raw is not None, f"missing train GT: {depth_path}"
+            if self.use_old_dl:
+                image, depth = pp.old_dl_train_sample(
+                    image_u8, depth_raw, self.dataset, self.dcfg.do_kb_crop,
+                    self.dcfg.do_random_rotate, self.dcfg.degree,
+                    self.train_dims, self.dcfg.depth_norm_factor, rng,
+                )
+            else:
+                image, depth = pp.new_train_sample(
+                    image_u8, depth_raw, self.dataset, self.dcfg.do_kb_crop,
+                    self.dcfg.do_random_rotate, self.dcfg.degree,
+                    self.train_dims, self.dcfg.image_norm_factor,
+                    self.dcfg.depth_norm_factor, rng,
+                )
+        else:
+            image, depth = pp.eval_sample(
+                image_u8, depth_raw, self.dcfg.do_kb_crop,
+                self.dcfg.image_norm_factor, self.dcfg.depth_norm_factor,
+                normalize=True,
+            )
+
+        return {
+            "image": image,
+            "depth": depth,
+            "focal": focal,
+            "image_path": line.split()[0],
+            "depth_path": line.split()[1],
+        }
+
+
+class SyntheticDepthDataset:
+    """Deterministic fake data with the real sample contract (no dataset on
+    disk). Image content is seeded by index so runs are reproducible."""
+
+    def __init__(self, args: Any, mode: str, length: int = 64):
+        self.args = args
+        self.mode = mode
+        self.dataset = args.basic.dataset
+        self.dcfg = args[self.dataset]
+        self.length = length
+        self.use_old_dl = bool(args.basic.get("use_adabins_dataloader"))
+        if mode == "train":
+            self.dims = tuple(self.dcfg.dimensions_train)
+        elif self.dcfg.do_kb_crop:
+            self.dims = (352, 1216)
+        else:
+            self.dims = tuple(self.dcfg.dimensions_test)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def get(self, idx: int, rng: np.random.Generator) -> dict:
+        h, w = self.dims
+        srng = np.random.default_rng(idx)
+        image = srng.uniform(0.0, 1.0, (h, w, 3)).astype(np.float32)
+        depth = srng.uniform(
+            self.dcfg.min_depth * 2, self.dcfg.max_depth * 0.9, (h, w, 1)
+        ).astype(np.float32)
+        normalize_now = self.mode != "train" or self.use_old_dl
+        if normalize_now:
+            image = pp.imagenet_normalize(image)
+        return {
+            "image": image,
+            "depth": depth,
+            "focal": 518.8579,
+            "image_path": f"synthetic/{idx}.jpg",
+            "depth_path": f"synthetic/{idx}.png",
+        }
+
+
+def make_dataset(args: Any, mode: str):
+    """Real dataset if the split file and data root exist, else synthetic."""
+    dcfg = args[args.basic.dataset]
+    split_file = (
+        dcfg.filenames_file_train if mode == "train" else dcfg.filenames_file_eval
+    )
+    root = os.path.join(args.paths.data_dir, dcfg.base_path)
+    if os.path.exists(split_file) and os.path.isdir(root):
+        return DepthDataset(args, mode)
+    return SyntheticDepthDataset(args, mode, length=64 if mode == "train" else 16)

@@ -1,0 +1,106 @@
+"""Host batching + async device prefetch.
+
+Replaces the reference's torch DataLoader worker pools (GraphBinsLM.py:489-549)
+with a single background thread that assembles numpy batches and device_puts
+them with the batch dim sharded over the mesh's data axis, keeping at most
+``prefetch`` batches in flight so host IO overlaps device compute.
+
+Batch contract (all fixed-shape, NHWC): {'image', 'depth'} float32; eval
+batches keep per-sample path/focal metadata on host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator
+
+import numpy as np
+
+from objcavit_tpu.parallel.mesh import shard_batch
+
+
+class DeviceLoader:
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        mesh: Any,
+        shuffle: bool = False,
+        seed: int = 42,
+        drop_last: bool = False,
+        prefetch: int = 2,
+        pad_final: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.pad_final = pad_final
+        self.epoch = 0
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _host_batches(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, n, self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            if len(idxs) < self.batch_size:
+                if self.drop_last:
+                    return
+                if self.pad_final:
+                    # pad with wrapped samples; 'valid' marks the real ones
+                    pad = order[: self.batch_size - len(idxs)]
+                    valid = np.concatenate(
+                        [np.ones(len(idxs), bool), np.zeros(len(pad), bool)]
+                    )
+                    idxs = np.concatenate([idxs, pad])
+                else:
+                    valid = np.ones(len(idxs), bool)
+            else:
+                valid = np.ones(len(idxs), bool)
+            samples = [self.dataset.get(int(i), self._rng) for i in idxs]
+            batch = {
+                "image": np.stack([s["image"] for s in samples]),
+                "depth": np.stack([s["depth"] for s in samples]),
+                "sample_valid": valid,
+            }
+            meta = {
+                "focal": [s["focal"] for s in samples],
+                "image_path": [s["image_path"] for s in samples],
+                "depth_path": [s["depth_path"] for s in samples],
+            }
+            yield batch, meta
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for batch, meta in self._host_batches():
+                    q.put((shard_batch(self.mesh, batch), meta))
+                q.put(stop)
+            except BaseException as e:  # surface errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        self.epoch += 1

@@ -1,0 +1,84 @@
+"""Language embedding: phrase -> 512-d feature, cached off the hot path.
+
+Replicates LanguageEmbeddingWrapper (modules/LanguageEmbeddingWrapper.py):
+  * 'clip'                  -> CLIP ViT-B/32 text encoder (jit, batched)
+  * 'control_obj_zeros_512' -> zero vectors (ablation control, :56-61)
+both 512-d (:41-51).
+
+TPU-first: the phrase vocabulary is finite (1,204 LVIS classes x 7 size
+clauses x neighbour classes), so embeddings are memoised per phrase — the
+encoder runs only on cache misses, in batches, as its own jit program. The
+reference instead tokenized + ran CLIP inside every training step
+(GraphBins.py:99-106).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from objcavit_tpu.language.tokenizer import make_tokenizer
+
+OBJ_FEATURE_DIM = 512
+
+
+def get_num_classes(yolov7_chkpt: str) -> int:
+    """LVIS v1.0 (1203 + 1 for yolov7 indexing) vs COCO 80 (:33-38)."""
+    return 1204 if "lvis" in yolov7_chkpt else 80
+
+
+class ZerosEmbedder:
+    """'control_obj_zeros_512': zero features for every phrase."""
+
+    def embed(self, phrases: Sequence[str]) -> np.ndarray:
+        return np.zeros((len(phrases), OBJ_FEATURE_DIM), np.float32)
+
+
+class ClipEmbedder:
+    """CLIP text encoder with a host-side phrase cache.
+
+    params: a flax param tree for models/clip_text.CLIPTextEncoder (imported
+    from the released CLIP weights via utils/torch_import when available;
+    randomly initialised otherwise — architecture-complete, not parity).
+    """
+
+    def __init__(self, params=None, bpe_path: str | None = None, batch: int = 64):
+        import jax
+        import jax.numpy as jnp
+
+        from objcavit_tpu.models.clip_text import CLIPTextEncoder
+
+        self.model = CLIPTextEncoder(dtype=jnp.float32)
+        self.tokenizer = make_tokenizer(bpe_path)
+        self.batch = batch
+        if params is None:
+            dummy = jnp.zeros((1, 77), jnp.int32)
+            params = self.model.init(jax.random.PRNGKey(0), dummy)["params"]
+        self._apply = jax.jit(
+            lambda toks: self.model.apply({"params": params}, toks)
+        )
+        self._cache: dict[str, np.ndarray] = {}
+
+    def embed(self, phrases: Sequence[str]) -> np.ndarray:
+        missing = sorted({p for p in phrases if p not in self._cache})
+        for start in range(0, len(missing), self.batch):
+            chunk = missing[start : start + self.batch]
+            toks = self.tokenizer.tokenize(list(chunk))
+            # pad chunk to the jit batch size to avoid recompiles
+            pad = self.batch - len(chunk)
+            if pad:
+                toks = np.concatenate([toks, np.zeros((pad, 77), np.int32)])
+                toks[len(chunk):, 0] = 1  # non-degenerate argmax
+            feats = np.asarray(self._apply(toks))[: len(chunk)]
+            for p, f in zip(chunk, feats):
+                self._cache[p] = f.astype(np.float32)
+        return np.stack([self._cache[p] for p in phrases])
+
+
+def make_embedder(strategy: str, clip_params=None, bpe_path=None):
+    if strategy == "control_obj_zeros_512":
+        return ZerosEmbedder()
+    if strategy == "clip":
+        return ClipEmbedder(clip_params, bpe_path)
+    raise ValueError(f"Error: Language model {strategy} not recognised")

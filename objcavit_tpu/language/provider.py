@@ -1,0 +1,63 @@
+"""Full detection+language object provider: YOLOv7-seg -> phrases -> CLIP.
+
+Produces the padded {'features', 'xywh', 'valid'} structure GraphBins
+consumes (see training/providers.py). The detector is a jit-compiled JAX
+program with fixed-shape NMS (models/yolov7.py); phrases are built host-side
+(language/strategy.py) and embedded through the phrase cache
+(language/embedding.py).
+
+Pipeline parity with GraphBins.forward (:90-106), with the reference's
+detection ordering: NMS output is consumed lowest-confidence-first
+(Yolov7Wrapper.py:120-123 uses reversed()).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from objcavit_tpu.language.embedding import make_embedder
+from objcavit_tpu.language.strategy import ObjectLanguageStrategy
+
+
+class YoloClipObjectProvider:
+    def __init__(self, args: Any, n_max: int = 32):
+        ocfg = args[args.model.name].objcavit
+        self.n_max = n_max
+        self.strategy = ObjectLanguageStrategy(ocfg.obj_language_strategy)
+        self.embedder = make_embedder(
+            ocfg.language_embedding_strategy,
+            bpe_path=args.get("clip_bpe_path"),
+        )
+        from objcavit_tpu.models.yolov7 import Yolov7SegDetector
+
+        self.detector = Yolov7SegDetector(
+            checkpoint=args[args.model.name].get("yolov7_chkpt"),
+            conf_thres=args.yolov7seg.conf_thres,
+            iou_thres=args.yolov7seg.iou_thres,
+            max_det=self.n_max,
+            agnostic=bool(args.yolov7seg.get("agnostic_nms")),
+        )
+
+    def __call__(self, images_normed: np.ndarray) -> dict:
+        b = images_normed.shape[0]
+        det = self.detector(images_normed)  # padded {'xywh','cls','conf','valid','names'}
+        feats = np.zeros((b, self.n_max, 512), np.float32)
+        xywh = np.full((b, self.n_max, 4), -1.0, np.float32)
+        valid = np.zeros((b, self.n_max), bool)
+        for i in range(b):
+            n = int(det["valid"][i].sum())
+            if n == 0:
+                valid[i, 0] = True
+                feats[i, 0] = self.embedder.embed(["<UNK>"])[0]
+                continue
+            # reference consumes detections lowest-confidence-first
+            order = np.argsort(det["conf"][i][:n])
+            names = [det["names"][i][j] for j in order]
+            boxes = det["xywh"][i][order]
+            phrases = self.strategy.phrases_for_image(names, boxes)
+            feats[i, :n] = self.embedder.embed(phrases)
+            xywh[i, :n] = boxes
+            valid[i, :n] = True
+        return {"features": feats, "xywh": xywh, "valid": valid}

@@ -1,0 +1,386 @@
+"""YOLOv7-seg (u7 branch) instance-segmentation detector, flax/JAX, NHWC.
+
+The reference depends on the yolov7 git submodule (empty in its snapshot —
+.gitmodules:1-4) through Yolov7Wrapper (modules/Yolov7Wrapper.py): frozen
+LVIS-trained detector whose outputs feed ObjCAViT. This is a from-scratch
+implementation of the published architecture:
+
+  backbone: stem convs -> E-ELAN stages (P2..P5) with MP downsamples
+  neck:     SPPCSPC -> PAN-style up/down path with ELAN-W blocks -> RepConv
+  heads:    ISegment = Detect (3 scales x 3 anchors, 4+1+nc+nm channels)
+            + Proto net (32 prototype masks at /4 resolution)
+
+Box decode follows yolov7: xy = (2*sig - 0.5 + grid) * stride,
+wh = (2*sig)^2 * anchor. NMS is the fixed-shape on-device version in
+ops/nms.py; mask assembly = sigmoid(proto @ coeffs) cropped to the box.
+
+Everything is jit-compiled with static shapes end-to-end — detection runs as
+one XLA program instead of the reference's NMS host sync + python per-image
+loop (Yolov7Wrapper.py:92-146).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy, xyxy_to_xywh
+
+# anchors per level (P3/8, P4/16, P5/32), yolov7 defaults
+ANCHORS = (
+    ((12, 16), (19, 36), (40, 28)),
+    ((36, 75), (76, 55), (72, 146)),
+    ((142, 110), (192, 243), (459, 401)),
+)
+STRIDES = (8, 16, 32)
+
+
+class Conv(nn.Module):
+    """yolov7 Conv: conv -> BN -> SiLU."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.kernel // 2
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=self.dtype, name="bn",
+        )(x)
+        return jax.nn.silu(x)
+
+
+class ELAN(nn.Module):
+    """Backbone E-ELAN: 2 parallel 1x1s; one side runs 4 3x3s; concat 4 taps."""
+
+    mid: int
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = Conv(self.mid, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(self.mid, 1, dtype=self.dtype, name="cv2")(x, train)
+        c = Conv(self.mid, 3, dtype=self.dtype, name="cv3")(b, train)
+        c = Conv(self.mid, 3, dtype=self.dtype, name="cv4")(c, train)
+        d = Conv(self.mid, 3, dtype=self.dtype, name="cv5")(c, train)
+        d = Conv(self.mid, 3, dtype=self.dtype, name="cv6")(d, train)
+        cat = jnp.concatenate([d, c, b, a], axis=-1)
+        return Conv(self.out, 1, dtype=self.dtype, name="cv7")(cat, train)
+
+
+class ELANW(nn.Module):
+    """Head ELAN-W: like ELAN but taps every 3x3 (6-way concat)."""
+
+    mid: int
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = Conv(self.mid, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(self.mid, 1, dtype=self.dtype, name="cv2")(x, train)
+        c1 = Conv(self.mid // 2, 3, dtype=self.dtype, name="cv3")(b, train)
+        c2 = Conv(self.mid // 2, 3, dtype=self.dtype, name="cv4")(c1, train)
+        c3 = Conv(self.mid // 2, 3, dtype=self.dtype, name="cv5")(c2, train)
+        c4 = Conv(self.mid // 2, 3, dtype=self.dtype, name="cv6")(c3, train)
+        cat = jnp.concatenate([c4, c3, c2, c1, b, a], axis=-1)
+        return Conv(self.out, 1, dtype=self.dtype, name="cv7")(cat, train)
+
+
+class MPDown(nn.Module):
+    """yolov7 downsample: maxpool+1x1 || 1x1+3x3s2, concat (keeps channels)."""
+
+    out_half: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = nn.max_pool(x, (2, 2), strides=(2, 2))
+        a = Conv(self.out_half, 1, dtype=self.dtype, name="cv1")(a, train)
+        b = Conv(self.out_half, 1, dtype=self.dtype, name="cv2")(x, train)
+        b = Conv(self.out_half, 3, 2, dtype=self.dtype, name="cv3")(b, train)
+        return jnp.concatenate([b, a], axis=-1)
+
+
+class SPPCSPC(nn.Module):
+    """Spatial-pyramid-pooling CSP block (yolov7 head entry)."""
+
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.out
+        x1 = Conv(c, 1, dtype=self.dtype, name="cv1")(x, train)
+        x1 = Conv(c, 3, dtype=self.dtype, name="cv3")(x1, train)
+        x1 = Conv(c, 1, dtype=self.dtype, name="cv4")(x1, train)
+        pools = [x1] + [
+            nn.max_pool(x1, (k, k), strides=(1, 1), padding=((k // 2,) * 2,) * 2)
+            for k in (5, 9, 13)
+        ]
+        y1 = Conv(c, 1, dtype=self.dtype, name="cv5")(
+            jnp.concatenate(pools, axis=-1), train
+        )
+        y1 = Conv(c, 3, dtype=self.dtype, name="cv6")(y1, train)
+        y2 = Conv(c, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(c, 1, dtype=self.dtype, name="cv7")(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+class RepConv(nn.Module):
+    """RepVGG-style conv: 3x3 + 1x1 (+identity) branches, SiLU."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dense = nn.Conv(
+            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            dtype=self.dtype, name="rbr_dense_conv",
+        )(x)
+        dense = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=self.dtype, name="rbr_dense_bn",
+        )(dense)
+        one = nn.Conv(
+            self.features, (1, 1), use_bias=False, dtype=self.dtype,
+            name="rbr_1x1_conv",
+        )(x)
+        one = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=self.dtype, name="rbr_1x1_bn",
+        )(one)
+        out = dense + one
+        if x.shape[-1] == self.features:
+            ident = nn.BatchNorm(
+                use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                dtype=self.dtype, name="rbr_identity_bn",
+            )(x)
+            out = out + ident
+        return jax.nn.silu(out)
+
+
+class Proto(nn.Module):
+    """Mask prototype net: conv3x3 -> 2x upsample -> conv3x3 -> 1x1 (nm)."""
+
+    mid: int = 256
+    nm: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.mid, 3, dtype=self.dtype, name="cv1")(x, train)
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        x = Conv(self.mid, 3, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.nm, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+class Yolov7SegBackboneNeck(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        # stem + P1/P2
+        x = Conv(32, 3, dtype=dt, name="s0")(x, train)
+        x = Conv(64, 3, 2, dtype=dt, name="s1")(x, train)   # /2
+        x = Conv(64, 3, dtype=dt, name="s2")(x, train)
+        x = Conv(128, 3, 2, dtype=dt, name="s3")(x, train)  # /4
+        p2 = ELAN(64, 256, dtype=dt, name="elan1")(x, train)
+        # P3
+        x = MPDown(128, dtype=dt, name="mp1")(p2, train)    # /8
+        p3 = ELAN(128, 512, dtype=dt, name="elan2")(x, train)
+        # P4
+        x = MPDown(256, dtype=dt, name="mp2")(p3, train)    # /16
+        p4 = ELAN(256, 1024, dtype=dt, name="elan3")(x, train)
+        # P5
+        x = MPDown(512, dtype=dt, name="mp3")(p4, train)    # /32
+        p5 = ELAN(256, 1024, dtype=dt, name="elan4")(x, train)
+
+        # neck (PAN)
+        t5 = SPPCSPC(512, dtype=dt, name="sppcspc")(p5, train)
+        u4 = Conv(256, 1, dtype=dt, name="up4_conv")(t5, train)
+        n, h, w, c = u4.shape
+        u4 = jax.image.resize(u4, (n, h * 2, w * 2, c), method="nearest")
+        l4 = Conv(256, 1, dtype=dt, name="lat4")(p4, train)
+        t4 = ELANW(256, 256, dtype=dt, name="elanw4")(
+            jnp.concatenate([l4, u4], axis=-1), train
+        )
+        u3 = Conv(128, 1, dtype=dt, name="up3_conv")(t4, train)
+        n, h, w, c = u3.shape
+        u3 = jax.image.resize(u3, (n, h * 2, w * 2, c), method="nearest")
+        l3 = Conv(128, 1, dtype=dt, name="lat3")(p3, train)
+        t3 = ELANW(128, 128, dtype=dt, name="elanw3")(
+            jnp.concatenate([l3, u3], axis=-1), train
+        )
+        d4 = MPDown(128, dtype=dt, name="down4")(t3, train)
+        t4b = ELANW(256, 256, dtype=dt, name="elanw4b")(
+            jnp.concatenate([d4, t4], axis=-1), train
+        )
+        d5 = MPDown(256, dtype=dt, name="down5")(t4b, train)
+        t5b = ELANW(512, 512, dtype=dt, name="elanw5b")(
+            jnp.concatenate([d5, t5], axis=-1), train
+        )
+        o3 = RepConv(256, dtype=dt, name="rep3")(t3, train)
+        o4 = RepConv(512, dtype=dt, name="rep4")(t4b, train)
+        o5 = RepConv(1024, dtype=dt, name="rep5")(t5b, train)
+        return (o3, o4, o5), t3  # detection features + proto input (/8)
+
+
+class Yolov7Seg(nn.Module):
+    """Full detector. Returns raw per-level predictions + prototypes."""
+
+    num_classes: int = 1203
+    nm: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        (o3, o4, o5), proto_in = Yolov7SegBackboneNeck(
+            dtype=self.dtype, name="body"
+        )(image, train)
+        proto = Proto(256, self.nm, dtype=self.dtype, name="proto")(proto_in, train)
+        no = 5 + self.num_classes + self.nm
+        preds = []
+        for i, o in enumerate((o3, o4, o5)):
+            p = nn.Conv(3 * no, (1, 1), dtype=self.dtype, name=f"detect{i}")(o)
+            n, h, w, _ = p.shape
+            preds.append(p.reshape(n, h, w, 3, no))
+        return preds, proto
+
+
+def decode_predictions(
+    preds: Sequence[jax.Array], num_classes: int, nm: int = 32
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Raw head outputs -> flat (B, A, ...) boxes/conf/cls-scores/coeffs.
+
+    yolov7 decode: xy = (2*sig(txy) - 0.5 + grid) * stride,
+                   wh = (2*sig(twh))^2 * anchor.
+    """
+    boxes, obj, cls, coef = [], [], [], []
+    for p, stride, anchors in zip(preds, STRIDES, ANCHORS):
+        n, h, w, na, no = p.shape
+        sig = jax.nn.sigmoid(p[..., : 5 + num_classes])
+        gx = jnp.arange(w, dtype=jnp.float32)
+        gy = jnp.arange(h, dtype=jnp.float32)
+        grid = jnp.stack(jnp.meshgrid(gx, gy), axis=-1)  # (h, w, 2) xy
+        anc = jnp.asarray(anchors, jnp.float32)  # (3, 2)
+        xy = (sig[..., 0:2] * 2.0 - 0.5 + grid[None, :, :, None]) * stride
+        wh = (sig[..., 2:4] * 2.0) ** 2 * anc[None, None, None]
+        boxes.append(jnp.concatenate([xy, wh], -1).reshape(n, -1, 4))
+        obj.append(sig[..., 4].reshape(n, -1))
+        cls.append(sig[..., 5 : 5 + num_classes].reshape(n, -1, num_classes))
+        coef.append(p[..., 5 + num_classes :].reshape(n, -1, nm))
+    return (
+        jnp.concatenate(boxes, 1),
+        jnp.concatenate(obj, 1),
+        jnp.concatenate(cls, 1),
+        jnp.concatenate(coef, 1),
+    )
+
+
+class Yolov7SegDetector:
+    """Frozen detector wrapper producing padded fixed-shape detections.
+
+    Mirrors Yolov7Wrapper semantics: input is ImageNet-normalised, gets
+    un-normalised back to [0,1] before detection (Yolov7Wrapper.py:70);
+    output boxes are centre-xywh in pixels. Requires imported weights for
+    real detections; with none available it initialises randomly (outputs are
+    then near-threshold garbage — gate with `weights` in production).
+    """
+
+    def __init__(
+        self,
+        checkpoint: str | None = None,
+        num_classes: int = 1203,
+        conf_thres: float = 0.25,
+        iou_thres: float = 0.45,
+        max_det: int = 32,
+        agnostic: bool = False,
+        class_names: Sequence[str] | None = None,
+        params=None,
+    ):
+        import os
+
+        self.num_classes = num_classes
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_det = max_det
+        self.agnostic = agnostic
+        self.class_names = class_names or [
+            f"class_{i}.n.01" for i in range(num_classes)
+        ]
+        self.model = Yolov7Seg(num_classes=num_classes)
+        if params is None and checkpoint and os.path.exists(checkpoint):
+            from objcavit_tpu.utils.torch_import import load_yolov7_weights
+
+            params = load_yolov7_weights(checkpoint, self.model)
+        self._params = params
+        self._jitted = {}
+
+    def _get_fn(self, shape):
+        if shape not in self._jitted:
+            import jax
+
+            from objcavit_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+            def run(variables, image_normed):
+                image01 = image_normed * jnp.asarray(IMAGENET_STD) + jnp.asarray(
+                    IMAGENET_MEAN
+                )
+                preds, proto = self.model.apply(variables, image01, train=False)
+                boxes, obj, cls, coef = decode_predictions(
+                    preds, self.num_classes
+                )
+                conf = obj[..., None] * cls  # (B, A, nc)
+                best = jnp.max(conf, -1)
+                best_cls = jnp.argmax(conf, -1)
+                out = batched_nms(
+                    xywh_to_xyxy(boxes), best, best_cls,
+                    self.conf_thres, self.iou_thres,
+                    pre_topk=256, max_det=self.max_det,
+                    agnostic=self.agnostic,
+                )
+                out["xywh"] = xyxy_to_xywh(out.pop("boxes_xyxy"))
+                out["coeffs"] = jnp.take_along_axis(
+                    coef, out["nms_idx"][..., None], axis=1
+                )
+                return out, proto
+
+            self._jitted[shape] = jax.jit(run)
+        return self._jitted[shape]
+
+    def init_params(self, image_shape):
+        import jax
+
+        dummy = jnp.zeros((1, *image_shape), jnp.float32)
+        return jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
+
+    def __call__(self, images_normed: np.ndarray) -> dict:
+        if self._params is None:
+            self._params = self.init_params(images_normed.shape[1:])
+        fn = self._get_fn(images_normed.shape)
+        out, proto = fn(self._params, jnp.asarray(images_normed))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out["names"] = [
+            [self.class_names[int(c)] for c in row] for row in out["classes"]
+        ]
+        out["proto"] = proto
+        return out

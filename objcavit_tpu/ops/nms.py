@@ -1,0 +1,107 @@
+"""Fixed-shape, on-device non-max suppression (jit/TPU-compatible).
+
+The reference's detector calls yolov7's ``non_max_suppression`` (CUDA +
+data-dependent shapes + host sync, Yolov7Wrapper.py:92-100). A TPU program
+needs static shapes, so this NMS is:
+
+  1. top-K candidate selection by confidence (K static),
+  2. a K x K IoU matrix (one small matmul-shaped block, MXU/VPU friendly),
+  3. greedy suppression as a `lax.fori_loop` over K (sorted order),
+  4. a padded (max_det,) result with a validity mask.
+
+Class-aware suppression uses the standard trick of offsetting boxes by
+class_id * offset so different classes never overlap (agnostic=False).
+Semantics match yolov7's NMS for the regimes that matter (conf/iou
+thresholds, class-aware, max_det cap); ties differ only at fp-equal scores.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_CLASS_OFFSET = 7680.0  # > any image dimension used (yolov7 uses max_wh=7680)
+
+
+def _iou_matrix(boxes: jax.Array) -> jax.Array:
+    """boxes (K, 4) xyxy -> (K, K) IoU."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+@functools.partial(jax.jit, static_argnames=("pre_topk", "max_det", "agnostic"))
+def batched_nms(
+    boxes_xyxy: jax.Array,  # (B, A, 4)
+    scores: jax.Array,  # (B, A) best-class confidence
+    classes: jax.Array,  # (B, A) int32 best class
+    conf_thres: float,
+    iou_thres: float,
+    pre_topk: int = 256,
+    max_det: int = 100,
+    agnostic: bool = False,
+):
+    """Returns dict of (B, max_det): boxes_xyxy, scores, classes, valid."""
+
+    def per_image(boxes, score, cls):
+        score = jnp.where(score >= conf_thres, score, 0.0)
+        top_score, idx = jax.lax.top_k(score, pre_topk)
+        top_boxes = boxes[idx]
+        top_cls = cls[idx]
+
+        nms_boxes = top_boxes
+        if not agnostic:
+            nms_boxes = top_boxes + (top_cls.astype(jnp.float32) * _CLASS_OFFSET)[
+                :, None
+            ]
+        iou = _iou_matrix(nms_boxes)
+
+        cand = top_score > 0.0
+
+        def body(i, keep):
+            # i is kept iff it's a candidate and no higher-scoring kept box
+            # overlaps it beyond the threshold
+            suppressed = jnp.any(
+                keep & (jnp.arange(pre_topk) < i) & (iou[i] > iou_thres)
+            )
+            return keep.at[i].set(cand[i] & ~suppressed)
+
+        keep = jax.lax.fori_loop(
+            0, pre_topk, body, jnp.zeros((pre_topk,), bool)
+        )
+        # compact kept detections to the front, cap at max_det
+        kept_score = jnp.where(keep, top_score, -1.0)
+        k = min(max_det, pre_topk)
+        out_score, out_idx = jax.lax.top_k(kept_score, k)
+        if k < max_det:  # pad up to the requested fixed shape
+            pad = max_det - k
+            out_score = jnp.concatenate([out_score, jnp.full((pad,), -1.0)])
+            out_idx = jnp.concatenate([out_idx, jnp.zeros((pad,), out_idx.dtype)])
+        valid = out_score > 0.0
+        return {
+            "boxes_xyxy": top_boxes[out_idx],
+            "scores": jnp.where(valid, out_score, 0.0),
+            "classes": top_cls[out_idx],
+            "nms_idx": idx[out_idx],  # index into the original A anchors
+            "valid": valid,
+        }
+
+    return jax.vmap(per_image)(boxes_xyxy, scores, classes)
+
+
+def xywh_to_xyxy(xywh: jax.Array) -> jax.Array:
+    half = xywh[..., 2:4] / 2
+    return jnp.concatenate([xywh[..., 0:2] - half, xywh[..., 0:2] + half], axis=-1)
+
+
+def xyxy_to_xywh(xyxy: jax.Array) -> jax.Array:
+    wh = xyxy[..., 2:4] - xyxy[..., 0:2]
+    return jnp.concatenate([xyxy[..., 0:2] + wh / 2, wh], axis=-1)

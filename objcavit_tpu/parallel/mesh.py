@@ -1,0 +1,58 @@
+"""Device mesh + sharding helpers (the framework's distributed layer).
+
+The reference's entire distributed story is Lightning DDP over NCCL
+(main.py:66,104,129): data parallelism with replicated parameters. The
+TPU-native equivalent is a 1-D ``jax.sharding.Mesh`` over all chips with
+batch-dim-sharded inputs and replicated params; XLA inserts the gradient
+all-reduce over ICI automatically when the jitted train step consumes sharded
+batches and produces replicated grads. No process groups, no find_unused_
+parameters — frozen components simply never enter the optimised pytree.
+
+A second mesh axis ("model") is exposed for activation/spatial sharding of
+large eval resolutions; unused (size 1) by default.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1) -> Mesh:
+    devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch pytree with the batch dim sharded over data.
+
+    Batches whose leading dim does not divide the data axis (e.g. the bs=1
+    eval protocol, main.py:58) are replicated instead.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    split = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    def put(x):
+        fits = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n_data == 0
+        return jax.device_put(x, split if fits else repl)
+
+    return jax.tree.map(put, batch)

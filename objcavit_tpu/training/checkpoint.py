@@ -1,0 +1,55 @@
+"""Orbax checkpointing: best-by-abs_rel + last, with config snapshots.
+
+Mirrors the reference's Lightning ModelCheckpoint(monitor='metrics/abs_rel',
+save_last=True, save_top_k=1, mode='min') (main.py:120) and the hparams.yaml
+auto-save (GraphBinsLM.py:40) whose nested 'args:' layout our config loader
+understands (main.py:162-163).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from objcavit_tpu.config import Config, save_config
+
+
+class CheckpointManager:
+    def __init__(self, run_dir: str):
+        self.run_dir = os.path.abspath(run_dir)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self.best_metric = float("inf")
+
+    def save_hparams(self, args: Config) -> None:
+        wrapped = Config({"args": args.to_dict()})
+        save_config(wrapped, os.path.join(self.run_dir, "hparams.yaml"))
+
+    def save(self, state: Any, abs_rel: float | None = None) -> None:
+        ckpt_dir = os.path.join(self.run_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        last = os.path.join(ckpt_dir, "last")
+        self._ckptr.save(last, state, force=True)
+        if abs_rel is not None and abs_rel < self.best_metric:
+            self.best_metric = abs_rel
+            self._ckptr.save(os.path.join(ckpt_dir, "best"), state, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, path: str, target: Any) -> Any:
+        return self._ckptr.restore(os.path.abspath(path), target=target)
+
+
+def restore_checkpoint(path: str, target: Any = None) -> Any:
+    """Restore either an orbax dir ('*last'/'best') or a torch '.ckpt' file
+    (via the import tool in utils/torch_import.py). With target=None the
+    stored pytree comes back as nested dicts."""
+    if path.endswith(".ckpt"):
+        from objcavit_tpu.utils.torch_import import load_torch_checkpoint
+
+        return load_torch_checkpoint(path, target)
+    if target is None:
+        return ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path), target=target)

@@ -1,0 +1,363 @@
+"""Trainer: fit / validate / predict orchestration (reference main.py flows).
+
+Reference behaviours kept:
+  * run dirs: {run_dir}/{name}/version_N (Lightning TensorBoardLogger layout)
+  * checkpoints: best by metrics/abs_rel + last, every val epoch (main.py:120)
+  * validation: bs=1, flip-TTA, clamp, Garg/Eigen crops, two metric families;
+    writes validation_output.txt in the same format (main.py:81-88)
+  * predict: per-image metrics (reset per batch), saved figures + raw arrays +
+    prediction_metrics.csv (GraphBinsLM.py:285-428)
+  * --debug: 1 batch per epoch, 1 epoch, no worker processes (main.py:58-62)
+
+TPU-native: one jitted train step (augment+forward+loss+grad+update) over a
+data-parallel mesh; eval flip-TTA as a single 2B forward; async host->device
+prefetch.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from objcavit_tpu.config import Config
+from objcavit_tpu.data import DeviceLoader, make_dataset
+from objcavit_tpu.losses import LossWrapper
+from objcavit_tpu.metrics import (
+    METRIC_NAMES,
+    MetricsPreprocessConfig,
+    metrics_compute,
+    metrics_init,
+)
+from objcavit_tpu.parallel import make_mesh, shard_batch
+from objcavit_tpu.training.checkpoint import CheckpointManager, restore_checkpoint
+from objcavit_tpu.training.optim import build_optimizer
+from objcavit_tpu.training.providers import (
+    StubObjectProvider,
+    ZerosObjectProvider,
+    mirror_objects,
+)
+from objcavit_tpu.training.state import TrainState
+from objcavit_tpu.training.steps import build_model, make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def _next_version_dir(base: str) -> str:
+    os.makedirs(base, exist_ok=True)
+    existing = [
+        int(d.split("_")[1])
+        for d in os.listdir(base)
+        if d.startswith("version_") and d.split("_")[1].isdigit()
+    ]
+    n = max(existing) + 1 if existing else 0
+    path = os.path.join(base, f"version_{n}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+class Trainer:
+    def __init__(self, args: Config, dtype=jnp.float32, attn_impl: str = "xla"):
+        self.args = args
+        self.dtype = dtype
+        self.debug = bool(args.get("debug"))
+        self.dataset_cfg = args[args.basic.dataset]
+        self.is_graphbins = args.model.name == "graphbins"
+        self.mesh = make_mesh()
+        self.model = build_model(args, dtype=dtype, attn_impl=attn_impl)
+        self.loss = LossWrapper.from_args(args)
+        self.mp_cfg = MetricsPreprocessConfig(
+            min_depth=self.dataset_cfg.min_depth,
+            max_depth=self.dataset_cfg.max_depth,
+            garg_crop=bool(self.dataset_cfg.get("garg_crop")),
+            eigen_crop=bool(self.dataset_cfg.get("eigen_crop")),
+            dataset=args.basic.dataset,
+        )
+        self.augment_on_device = not bool(args.basic.get("use_adabins_dataloader"))
+        self.n_obj_max = int(args.get("objects_max", 32))
+        self.provider = self._build_provider()
+
+    def _build_provider(self):
+        if not self.is_graphbins:
+            return None
+        strat = self.args[self.args.model.name].objcavit.language_embedding_strategy
+        if strat == "control_obj_zeros_512":
+            return ZerosObjectProvider(self.n_obj_max)
+        if strat == "clip":
+            try:
+                from objcavit_tpu.language.provider import YoloClipObjectProvider
+
+                return YoloClipObjectProvider(self.args, self.n_obj_max)
+            except Exception as e:  # no detector/CLIP weights in this image
+                logger.warning(
+                    "CLIP/YOLO provider unavailable (%s); using stub detections", e
+                )
+                return StubObjectProvider(self.n_obj_max)
+        raise ValueError(f"unknown language strategy {strat}")
+
+    def _objects_for(self, batch_np: dict) -> tuple[dict, dict]:
+        if not self.is_graphbins:
+            return None, None
+        objects = self.provider(batch_np["image"])
+        mirrored = mirror_objects(objects, batch_np["image"].shape[2])
+        return objects, mirrored
+
+    def _init_state(self, loader, tx) -> TrainState:
+        batch, _ = next(iter(loader))
+        objects, _ = self._objects_for(jax.tree.map(np.asarray, batch))
+        inputs = (batch["image"],)
+        if self.is_graphbins:
+            inputs = (
+                batch["image"],
+                jnp.asarray(objects["features"]),
+                jnp.asarray(objects["xywh"]),
+                jnp.asarray(objects["valid"]),
+            )
+        variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), *inputs)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        logger.info("model initialised: %.1fM params", n_params / 1e6)
+        return TrainState.create(params, batch_stats, tx)
+
+    # ------------------------------------------------------------------ fit
+    def fit(self):
+        args = self.args
+        run_base = os.path.join(args.paths.run_dir, args.basic.name)
+        run_dir = _next_version_dir(run_base)
+        ckpt = CheckpointManager(run_dir)
+        ckpt.save_hparams(args)
+        logger.info("run dir: %s", run_dir)
+
+        train_ds = make_dataset(args, "train")
+        val_ds = make_dataset(args, "online_eval")
+        bs = args.basic.batch_size
+        train_loader = DeviceLoader(
+            train_ds, bs, self.mesh, shuffle=True, seed=42, drop_last=False
+        )
+        val_loader = DeviceLoader(val_ds, bs, self.mesh, shuffle=False)
+
+        max_epochs = 1 if self.debug else args.basic.max_epochs
+        steps_per_epoch = 1 if self.debug else len(train_loader)
+        total_steps = max_epochs * steps_per_epoch
+
+        tx = build_optimizer(
+            lr=args.optimizer.lr,
+            weight_decay=args.optimizer.wd,
+            total_steps=total_steps,
+            div_factor=args.optimizer.get("div_factor", 25),
+            final_div_factor=args.optimizer.get("final_div_factor", 100),
+            gradient_clip_val=args.optimizer.get("gradient_clip_val", 0) or 0,
+            use_swa=bool(args.optimizer.get("use_swa")),
+            slow_encoder=args[args.model.name].get("slow_encoder"),
+        )
+        state = self._init_state(train_loader, tx)
+
+        train_step = jax.jit(
+            make_train_step(
+                self.model, tx, self.loss, self.dataset_cfg.min_depth,
+                self.augment_on_device, self.is_graphbins,
+            ),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(
+            make_eval_step(self.model, self.loss, self.mp_cfg,
+                           self.is_graphbins, flip_tta=True),
+        )
+
+        rng = jax.random.PRNGKey(42)
+        swa_cfg = bool(args.optimizer.get("use_swa"))
+        swa_params, swa_count = None, 0
+        last_metrics = {}
+        writer = self._tb_writer(run_dir)
+        step = 0
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            losses = []
+            for i, (batch, _meta) in enumerate(train_loader):
+                if i >= steps_per_epoch:
+                    break
+                objects, _ = self._objects_for(jax.tree.map(np.asarray, batch))
+                obj_dev = (
+                    shard_batch(self.mesh, objects) if objects is not None else None
+                )
+                rng, step_rng = jax.random.split(rng)
+                state, loss = train_step(state, batch, obj_dev, step_rng)
+                step += 1
+                if step % 50 == 1 or self.debug:
+                    lv = float(loss)
+                    losses.append(lv)
+                    logger.info("epoch %d step %d loss %.4f", epoch, step, lv)
+                    if writer:
+                        writer.add_scalar("train/loss", lv, step)
+
+            # SWA: average weights over the tail epochs (Lightning default:
+            # last 20% of training, swa epoch start = 0.8 * max_epochs)
+            if swa_cfg and epoch >= int(0.8 * max_epochs):
+                if swa_params is None:
+                    swa_params = state.params
+                    swa_count = 1
+                else:
+                    swa_count += 1
+                    swa_params = jax.tree.map(
+                        lambda avg, new: avg + (new - avg) / swa_count,
+                        swa_params, state.params,
+                    )
+
+            if (epoch + 1) % args.basic.get("validate_every", 1) == 0:
+                last_metrics = self._run_eval(
+                    eval_step, state.params, state.batch_stats, val_loader,
+                    limit=1 if self.debug else None,
+                )
+                logger.info(
+                    "epoch %d val: abs_rel %.4f rmse %.4f (%.1fs)",
+                    epoch, last_metrics["abs_rel"], last_metrics["rmse"],
+                    time.time() - t0,
+                )
+                if writer:
+                    for k, v in last_metrics.items():
+                        fam = "metrics_ra" if k.endswith("_ra") else "metrics"
+                        writer.add_scalar(f"{fam}/{k}", v, step)
+                ckpt.save(state, abs_rel=last_metrics["abs_rel"])
+
+        if swa_cfg and swa_params is not None:
+            state = state.replace(params=swa_params)
+            ckpt.save(state, abs_rel=None)
+        self.last_metrics = last_metrics
+        return state, last_metrics
+
+    # ----------------------------------------------------------------- eval
+    def _run_eval(self, eval_step, params, batch_stats, loader, limit=None):
+        metric_state = metrics_init()
+        for i, (batch, _meta) in enumerate(loader):
+            if limit is not None and i >= limit:
+                break
+            objects, mirrored = self._objects_for(jax.tree.map(np.asarray, batch))
+            obj_dev = shard_batch(self.mesh, objects) if objects else None
+            mir_dev = shard_batch(self.mesh, mirrored) if mirrored else None
+            metric_state, loss, _ = eval_step(
+                params, batch_stats, batch, obj_dev, mir_dev, metric_state
+            )
+        return {k: float(v) for k, v in metrics_compute(metric_state).items()}
+
+    def validate(self):
+        """-v flow: restore checkpoint, evaluate, write validation_output.txt."""
+        args = self.args
+        args.basic.batch_size = 1  # protocol: bs=1 (main.py:58)
+        val_ds = make_dataset(args, "online_eval")
+        loader = DeviceLoader(val_ds, 1, self.mesh, shuffle=False)
+        state = self._restore_for_eval(loader)
+        eval_step = jax.jit(
+            make_eval_step(self.model, self.loss, self.mp_cfg,
+                           self.is_graphbins, flip_tta=True)
+        )
+        metrics = self._run_eval(
+            eval_step, state["params"], state["batch_stats"], loader,
+            limit=1 if self.debug else None,
+        )
+        out_dir = args.get("val_output_dir", ".")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "validation_output.txt"), "w") as f:
+            f.write(args.basic.name)
+            f.write(str([metrics]))
+            f.write(_metrics_log_str(metrics))
+        print(_metrics_log_str(metrics))
+        return metrics
+
+    def predict(self):
+        """-i flow: per-image forward (no TTA), metrics csv + figures."""
+        args = self.args
+        args.basic.batch_size = 1
+        val_ds = make_dataset(args, "online_eval")
+        loader = DeviceLoader(val_ds, 1, self.mesh, shuffle=False)
+        state = self._restore_for_eval(loader)
+        eval_step = jax.jit(
+            make_eval_step(self.model, self.loss, self.mp_cfg,
+                           self.is_graphbins, flip_tta=False)
+        )
+        out_dir = args.get("predict_output_dir", "./predict_output")
+        os.makedirs(out_dir, exist_ok=True)
+        rows = []
+        for i, (batch, meta) in enumerate(loader):
+            if self.debug and i >= 1:
+                break
+            objects, mirrored = self._objects_for(jax.tree.map(np.asarray, batch))
+            obj_dev = shard_batch(self.mesh, objects) if objects else None
+            metric_state, loss, depth_pred = eval_step(
+                state["params"], state["batch_stats"], batch, obj_dev, obj_dev,
+                metrics_init(),
+            )
+            m = {k: float(v) for k, v in metrics_compute(metric_state).items()}
+            row = {
+                "batch_idx": i,
+                "image_filename": meta["image_path"][0],
+                "depth_gt_filename": meta["depth_path"][0],
+                **{k: m[k] for k in METRIC_NAMES},
+                **{f"{k}_ra": m[f"{k}_ra"] for k in METRIC_NAMES},
+                "loss": float(loss),
+            }
+            rows.append(row)
+            self._save_prediction_figures(
+                out_dir, i, batch, depth_pred, objects=objects
+            )
+        with open(os.path.join(out_dir, "prediction_metrics.csv"), "w", newline="") as f:
+            if rows:
+                writer = csv.DictWriter(f, fieldnames=[""] + list(rows[0].keys()))
+                writer.writeheader()
+                for i, row in enumerate(rows):
+                    writer.writerow({"": i, **row})
+        logger.info("predictions saved to %s", out_dir)
+        return rows
+
+    def _save_prediction_figures(self, out_dir, idx, batch, depth_pred, objects):
+        try:
+            from objcavit_tpu.utils.figures import save_prediction_images
+        except Exception:
+            return
+        save_prediction_images(
+            out_dir, idx, np.asarray(batch["image"][0]),
+            np.asarray(batch["depth"][0]), np.asarray(depth_pred[0]),
+            self.dataset_cfg.min_depth,
+        )
+
+    def _restore_for_eval(self, loader):
+        args = self.args
+        path = args.basic.get("val_checkpoint")
+        if path and os.path.exists(path):
+            restored = restore_checkpoint(path)  # full TrainState as dicts
+            if isinstance(restored, dict) and "params" in restored:
+                logger.info("restored checkpoint: %s", path)
+                return {
+                    "params": restored["params"],
+                    "batch_stats": restored.get("batch_stats", {}),
+                }
+        logger.warning("no checkpoint restored (path=%s); using fresh init", path)
+        tx = build_optimizer(args.optimizer.lr, args.optimizer.wd, 1)
+        state = self._init_state(loader, tx)
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+    def _tb_writer(self, run_dir):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(run_dir)
+        except Exception:
+            return None
+
+
+def _metrics_log_str(m: dict) -> str:
+    """The exact two-family dump format of main.py:84-88."""
+    return (
+        f"\nabs_rel, sq_rel, rms, rmsl, log10, d1, d2, d3:  \n"
+        f"{m['abs_rel']}, {m['sq_rel']}, {m['rmse']}, {m['rmse_log']}, "
+        f"{m['log10']}, {m['acc_1']}, {m['acc_2']}, {m['acc_3']}  \n ==#==  \n"
+        f"abs_rel_ra, sq_rel_ra, rms_ra, rmsl_ra, log10_ra, d1_ra, d2_ra, d3_ra:  \n"
+        f"{m['abs_rel_ra']}, {m['sq_rel_ra']}, {m['rmse_ra']}, {m['rmse_log_ra']}, "
+        f"{m['log10_ra']}, {m['acc_1_ra']}, {m['acc_2_ra']}, {m['acc_3_ra']}"
+    )

@@ -1,0 +1,172 @@
+"""Jit-compiled train / eval steps and the model factory.
+
+One train step = device-side augmentation -> forward -> loss -> grad ->
+clip -> AdamW update, all inside a single XLA program compiled once over the
+mesh (batch sharded on the data axis, params replicated — XLA inserts the
+gradient all-reduce). This collapses the reference's python-level step
+(separate kornia launch, forward, backward, optimizer, DDP hooks;
+GraphBinsLM.py:124-146 + Lightning internals) into one fused program.
+
+Eval replaces the reference's two sequential forwards for flip-TTA
+(GraphBinsLM.py:159-183) with a single forward on a 2B-batch of
+[images; mirrored images] — better MXU utilisation, same numbers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from objcavit_tpu.data.augment import augment_batch
+from objcavit_tpu.losses import LossWrapper
+from objcavit_tpu.metrics import (
+    MetricsPreprocessConfig,
+    metrics_preprocess,
+    metrics_update,
+)
+from objcavit_tpu.models import AdaBins, GraphBins
+
+
+def build_model(args: Any, dtype=jnp.float32, attn_impl: str = "xla"):
+    """Model factory from a reference-format config tree."""
+    name = args.model.name
+    mcfg = args[name]
+    dcfg = args[args.basic.dataset]
+    common = dict(
+        encoder_name=mcfg.encoder_name,
+        n_bins=mcfg.n_bins,
+        min_depth=dcfg.min_depth,
+        max_depth=dcfg.max_depth,
+        do_final_upscale=bool(mcfg.get("do_final_upscale")),
+        dtype=dtype,
+        attn_impl=attn_impl,
+    )
+    if name == "adabins":
+        return AdaBins(**common)
+    if name == "graphbins":
+        ocfg = mcfg.objcavit
+        return GraphBins(
+            embedding_dim=ocfg.embedding_dim,
+            obj_feature_dim=512,
+            pos_strategy=ocfg.positional_embedding_strategy,
+            no_obj_sa=bool(ocfg.get("no_obj_sa")),
+            use_2_saca=bool(ocfg.get("use_2_saca")),
+            dims_train=tuple(dcfg.dimensions_train),
+            dims_test=tuple(dcfg.dimensions_test),
+            **common,
+        )
+    raise ValueError(f"unrecognised model: {name}")
+
+
+def make_train_step(
+    model,
+    tx,
+    loss_wrapper: LossWrapper,
+    min_depth: float,
+    augment_on_device: bool,
+    is_graphbins: bool,
+) -> Callable:
+    """Returns jittable fn(state, batch, objects, rng) -> (state, loss)."""
+
+    def train_step(state, batch, objects, rng):
+        image, depth_gt = batch["image"], batch["depth"]
+        if augment_on_device:
+            aug_rng, rng = jax.random.split(rng)
+            image, depth_gt = augment_batch(aug_rng, image, depth_gt)
+
+        def loss_fn(params):
+            inputs = (image,)
+            if is_graphbins:
+                inputs = (
+                    image, objects["features"], objects["xywh"], objects["valid"],
+                )
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables, *inputs, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng, "droppath": jax.random.fold_in(rng, 1)},
+            )
+            depth_mask = depth_gt > min_depth  # train mask: min only
+            loss = loss_wrapper(
+                out["depth_pred"], depth_gt, depth_mask, out["bin_edges"]
+            )
+            return loss, mutated["batch_stats"]
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, loss
+
+    return train_step
+
+
+def make_eval_step(
+    model,
+    loss_wrapper: LossWrapper,
+    mp_cfg: MetricsPreprocessConfig,
+    is_graphbins: bool,
+    flip_tta: bool,
+) -> Callable:
+    """Returns jittable fn(params, batch_stats, batch, objects, objects_mirror,
+    metric_state) -> (metric_state, loss, depth_pred_final).
+
+    flip-TTA runs as one 2B-batched forward; per-sample validity masks keep
+    padded final batches out of the metrics.
+    """
+
+    def forward(params, batch_stats, image, objects):
+        inputs = (image,)
+        if is_graphbins:
+            inputs = (image, objects["features"], objects["xywh"], objects["valid"])
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, *inputs, train=False
+        )
+
+    def eval_step(params, batch_stats, batch, objects, objects_mirror, metric_state):
+        image, depth_gt = batch["image"], batch["depth"]
+        b = image.shape[0]
+
+        if flip_tta:
+            image2 = jnp.concatenate([image, image[:, :, ::-1, :]], axis=0)
+            if is_graphbins:
+                objects2 = jax.tree.map(
+                    lambda a, m: jnp.concatenate([a, m], axis=0),
+                    objects, objects_mirror,
+                )
+            else:
+                objects2 = objects
+            out = forward(params, batch_stats, image2, objects2)
+            pred = out["depth_pred"][:b]
+            pred_mirror = out["depth_pred"][b:][:, :, ::-1, :]
+            pred = jnp.clip(pred, mp_cfg.min_depth, mp_cfg.max_depth)
+            pred_mirror = jnp.clip(pred_mirror, mp_cfg.min_depth, mp_cfg.max_depth)
+            depth_pred = 0.5 * (pred + pred_mirror)
+            bin_edges = out["bin_edges"][:b]
+        else:
+            out = forward(params, batch_stats, image, objects)
+            depth_pred = jnp.clip(
+                out["depth_pred"], mp_cfg.min_depth, mp_cfg.max_depth
+            )
+            bin_edges = out["bin_edges"]
+
+        depth_mask = (depth_gt > mp_cfg.min_depth) & (depth_gt <= mp_cfg.max_depth)
+        loss = loss_wrapper(depth_pred, depth_gt, depth_mask, bin_edges)
+
+        pred_m, mask_m = metrics_preprocess(depth_pred, depth_gt, mp_cfg)
+        # padded samples (final partial batch) contribute nothing
+        mask_m = mask_m & batch["sample_valid"][:, None, None, None]
+        metric_state = metrics_update(metric_state, pred_m, depth_gt, mask_m)
+        return metric_state, loss, depth_pred
+
+    return eval_step

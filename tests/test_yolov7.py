@@ -1,0 +1,89 @@
+"""YOLOv7-seg architecture + fixed-shape NMS tests (tiny inputs, CPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from objcavit_tpu.models.yolov7 import (
+    Yolov7Seg,
+    decode_predictions,
+)
+from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy, xyxy_to_xywh
+
+RNG = np.random.default_rng(7)
+
+
+def test_nms_suppresses_overlaps_and_respects_classes():
+    # 4 boxes: two heavy overlaps (same class), one far away, one overlapping
+    # but different class
+    xywh = np.array(
+        [
+            [[50, 50, 40, 40], [52, 52, 40, 40], [200, 200, 30, 30], [50, 50, 38, 38]]
+        ],
+        np.float32,
+    )
+    scores = np.array([[0.9, 0.8, 0.7, 0.85]], np.float32)
+    classes = np.array([[1, 1, 2, 3]], np.int32)
+    out = batched_nms(
+        xywh_to_xyxy(jnp.asarray(xywh)), jnp.asarray(scores),
+        jnp.asarray(classes), conf_thres=0.25, iou_thres=0.45,
+        pre_topk=4, max_det=4, agnostic=False,
+    )
+    valid = np.asarray(out["valid"][0])
+    kept_cls = np.asarray(out["classes"][0])[valid]
+    # box1 suppressed by box0 (same class, IoU>0.45); box3 kept (class 3)
+    assert valid.sum() == 3
+    assert set(kept_cls.tolist()) == {1, 2, 3}
+
+    # agnostic: the class-3 box is suppressed too
+    out2 = batched_nms(
+        xywh_to_xyxy(jnp.asarray(xywh)), jnp.asarray(scores),
+        jnp.asarray(classes), conf_thres=0.25, iou_thres=0.45,
+        pre_topk=4, max_det=4, agnostic=True,
+    )
+    assert np.asarray(out2["valid"][0]).sum() == 2
+
+
+def test_nms_conf_threshold_and_padding():
+    xywh = np.array([[[50, 50, 40, 40], [200, 200, 30, 30]]], np.float32)
+    scores = np.array([[0.9, 0.1]], np.float32)
+    classes = np.zeros((1, 2), np.int32)
+    out = batched_nms(
+        xywh_to_xyxy(jnp.asarray(xywh)), jnp.asarray(scores),
+        jnp.asarray(classes), conf_thres=0.25, iou_thres=0.45,
+        pre_topk=2, max_det=4, agnostic=False,
+    )
+    valid = np.asarray(out["valid"][0])
+    assert valid.tolist() == [True, False, False, False]
+    assert np.asarray(out["scores"][0])[1:].sum() == 0  # padded scores zeroed
+
+
+def test_xywh_xyxy_roundtrip():
+    xywh = jnp.asarray(RNG.uniform(10, 100, (3, 7, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(xyxy_to_xywh(xywh_to_xyxy(xywh))), np.asarray(xywh),
+        rtol=1e-5, atol=1e-4,
+    )
+
+
+def test_yolov7seg_forward_shapes_and_decode():
+    nc, nm = 4, 8
+    model = Yolov7Seg(num_classes=nc, nm=nm)
+    img = jnp.asarray(RNG.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    (preds, proto), _ = model.init_with_output(jax.random.PRNGKey(0), img)
+    # three levels at /8, /16, /32 with 3 anchors x (5+nc+nm)
+    assert preds[0].shape == (1, 8, 8, 3, 5 + nc + nm)
+    assert preds[1].shape == (1, 4, 4, 3, 5 + nc + nm)
+    assert preds[2].shape == (1, 2, 2, 3, 5 + nc + nm)
+    assert proto.shape == (1, 16, 16, nm)  # /4 prototypes
+
+    boxes, obj, cls, coef = decode_predictions(preds, nc, nm)
+    a = 3 * (64 + 16 + 4)
+    assert boxes.shape == (1, a, 4)
+    assert obj.shape == (1, a)
+    assert cls.shape == (1, a, nc)
+    assert coef.shape == (1, a, nm)
+    # decoded centres live inside the image + one anchor cell margin
+    b = np.asarray(boxes)
+    assert (b[..., :2] > -16).all() and (b[..., :2] < 64 + 16).all()
