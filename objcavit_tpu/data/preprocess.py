@@ -104,19 +104,22 @@ def old_dl_train_sample(
 
     image, depth = random_crop(image, depth, train_dims[0], train_dims[1], rng)
 
-    # flip / gamma / brightness / colour (dataloader.py:239-270)
-    if rng.random() > 0.5:
-        image = image[:, ::-1].copy()
-        depth = depth[:, ::-1].copy()
-    if rng.random() > 0.5:
-        gamma = rng.uniform(0.9, 1.1)
-        image = image**gamma
-        brightness = rng.uniform(0.75, 1.25) if dataset == "nyu" else rng.uniform(0.9, 1.1)
-        image = image * brightness
-        colors = rng.uniform(0.9, 1.1, size=3).astype(np.float32)
-        image = np.clip(image * colors[None, None, :], 0, 1)
+    # flip / gamma / brightness / colour / normalise (dataloader.py:239-284)
+    # fused into one native pass (objcavit_tpu/data/native.py)
+    from objcavit_tpu.data import native
 
-    image = imagenet_normalize(image)
+    flip = rng.random() > 0.5
+    do_augment = rng.random() > 0.5
+    gamma = rng.uniform(0.9, 1.1)
+    brightness = (
+        rng.uniform(0.75, 1.25) if dataset == "nyu" else rng.uniform(0.9, 1.1)
+    )
+    colors = rng.uniform(0.9, 1.1, size=3).astype(np.float32)
+    image = native.augment_normalize(
+        image, flip, do_augment, gamma, brightness, colors
+    )
+    if flip:
+        depth = depth[:, ::-1].copy()
     return image.astype(np.float32), depth.astype(np.float32)
 
 
@@ -150,9 +153,11 @@ def new_train_sample(
         depth = depth[45 : 45 + 427, 43 : 43 + 565]
 
     if do_random_rotate:
+        from objcavit_tpu.data import native
+
         angle = rng.uniform(-degree, degree)
-        image = _rotate_bilinear_np(image, angle)
-        depth = _rotate_nearest_np(depth, angle)
+        image = native.rotate_bilinear(image, angle)
+        depth = native.rotate_nearest(depth, angle)
 
     image, depth = random_crop(image, depth, train_dims[0], train_dims[1], rng)
     return image.astype(np.float32), depth.astype(np.float32)

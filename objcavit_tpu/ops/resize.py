@@ -49,29 +49,58 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     return m
 
 
+@functools.lru_cache(maxsize=128)
+def _interp_taps(in_size: int, out_size: int, align_corners: bool):
+    """(lo_idx, hi_idx, frac) numpy taps for 1-D bilinear interpolation."""
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros((1,), dtype=np.float64)
+        else:
+            src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int32)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    return lo, hi, frac
+
+
 def resize_bilinear(
-    x: jax.Array, out_h: int, out_w: int, align_corners: bool = True
+    x: jax.Array,
+    out_h: int,
+    out_w: int,
+    align_corners: bool = True,
+    precision=None,
 ) -> jax.Array:
     """Bilinear-resize NHWC ``x`` to (out_h, out_w) with torch semantics.
 
     ``align_corners=True`` matches ``F.interpolate(..., mode='bilinear',
     align_corners=True)``; ``False`` matches torch's default half-pixel mode.
+
+    Implemented as separable dense interpolation-matrix matmuls: despite the
+    O(H^2 W C) FLOP count this rides the MXU and measures *faster* on TPU
+    than the O(HWC) gather+lerp formulation (gathers don't vectorise well on
+    TPU; measured 177 vs 147 img/s on the flagship forward).
+
+    precision: None -> fp32-exact (Precision.HIGHEST), for parity-critical
+    eval/loss paths. Pass jax.lax.Precision.DEFAULT/HIGH inside bf16 model
+    code where interpolation-weight rounding is acceptable.
     """
     n, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    # HIGHEST precision: these matmuls are parity-critical interpolations and
-    # tiny next to the conv stack, so the fp32 MXU passes are cheap.
-    hi = jax.lax.Precision.HIGHEST
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
     if h != out_h:
         mh = jnp.asarray(_interp_matrix(h, out_h, align_corners))
         # (out_h, h) @ (n, h, w*c) -> (n, out_h, w*c)
         xf = jnp.einsum(
-            "oh,nhk->nok", mh, xf.reshape(n, h, w * c), precision=hi
+            "oh,nhk->nok", mh, xf.reshape(n, h, w * c), precision=prec
         ).reshape(n, out_h, w, c)
     if w != out_w:
         mw = jnp.asarray(_interp_matrix(w, out_w, align_corners))
-        xf = jnp.einsum("ow,nhwc->nhoc", mw, xf, precision=hi)
+        xf = jnp.einsum("ow,nhwc->nhoc", mw, xf, precision=prec)
     return xf.astype(dtype)

@@ -42,14 +42,14 @@ class CheckpointManager:
         return self._ckptr.restore(os.path.abspath(path), target=target)
 
 
-def restore_checkpoint(path: str, target: Any = None) -> Any:
-    """Restore either an orbax dir ('*last'/'best') or a torch '.ckpt' file
-    (via the import tool in utils/torch_import.py). With target=None the
+def restore_checkpoint(path: str, target: Any = None, args: Any = None) -> Any:
+    """Restore either an orbax dir ('*last'/'best') or a reference torch
+    '.ckpt' file (converted via utils/torch_import). With target=None the
     stored pytree comes back as nested dicts."""
     if path.endswith(".ckpt"):
         from objcavit_tpu.utils.torch_import import load_torch_checkpoint
 
-        return load_torch_checkpoint(path, target)
+        return load_torch_checkpoint(path, args)
     if target is None:
         return ocp.StandardCheckpointer().restore(os.path.abspath(path))
     return ocp.StandardCheckpointer().restore(os.path.abspath(path), target=target)

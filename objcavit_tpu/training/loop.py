@@ -330,7 +330,7 @@ class Trainer:
         args = self.args
         path = args.basic.get("val_checkpoint")
         if path and os.path.exists(path):
-            restored = restore_checkpoint(path)  # full TrainState as dicts
+            restored = restore_checkpoint(path, args=args)  # TrainState dicts
             if isinstance(restored, dict) and "params" in restored:
                 logger.info("restored checkpoint: %s", path)
                 return {
