@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from objcavit_tpu.models.common import TorchConv
 from objcavit_tpu.models.decoder import DenseFeatureExtractor
 from objcavit_tpu.models.minivit import MiniViT
-from objcavit_tpu.ops.bins import bins_to_depth
+from objcavit_tpu.ops.bins import bins_logits_to_depth
 
 
 class AdaBins(nn.Module):
@@ -47,9 +47,7 @@ class AdaBins(nn.Module):
         logits = TorchConv(self.n_bins, (1, 1), dtype=self.dtype, name="conv_out")(
             range_maps
         )
-        probs = nn.softmax(logits, axis=-1)
-        depth, edges = bins_to_depth(
-            bin_widths_normed.astype(jnp.float32), probs.astype(jnp.float32),
-            self.min_depth, self.max_depth,
+        depth, edges = bins_logits_to_depth(
+            bin_widths_normed, logits, self.min_depth, self.max_depth
         )
         return {"depth_pred": depth, "bin_edges": edges}

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from objcavit_tpu.models.common import TorchConv
 from objcavit_tpu.models.decoder import DenseFeatureExtractor
 from objcavit_tpu.models.objcavit import ObjCAViT
-from objcavit_tpu.ops.bins import bins_to_depth
+from objcavit_tpu.ops.bins import bins_logits_to_depth
 
 
 class GraphBins(nn.Module):
@@ -69,9 +69,7 @@ class GraphBins(nn.Module):
         logits = TorchConv(self.n_bins, (1, 1), dtype=self.dtype, name="conv_out")(
             range_maps
         )
-        probs = nn.softmax(logits, axis=-1)
-        depth, edges = bins_to_depth(
-            bin_widths_normed.astype(jnp.float32), probs.astype(jnp.float32),
-            self.min_depth, self.max_depth,
+        depth, edges = bins_logits_to_depth(
+            bin_widths_normed, logits, self.min_depth, self.max_depth
         )
         return {"depth_pred": depth, "bin_edges": edges}

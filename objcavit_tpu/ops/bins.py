@@ -30,11 +30,43 @@ def bins_to_depth(
     Returns: (depth (N, H, W, 1), bin_edges (N, K + 1)).
     """
     n, k = bin_widths_normed.shape
+    edges, centers = bin_edges_centers(bin_widths_normed, min_depth, max_depth)
+    depth = jnp.einsum("nhwk,nk->nhw", bin_probs, centers)[..., None]
+    return depth, edges
+
+
+def bin_edges_centers(
+    bin_widths_normed: jax.Array, min_depth: float, max_depth: float
+) -> tuple[jax.Array, jax.Array]:
+    n, _ = bin_widths_normed.shape
     widths = (max_depth - min_depth) * bin_widths_normed
     widths = jnp.concatenate(
         [jnp.full((n, 1), min_depth, dtype=widths.dtype), widths], axis=1
     )
     edges = jnp.cumsum(widths, axis=1)  # (N, K + 1)
     centers = 0.5 * (edges[:, :-1] + edges[:, 1:])  # (N, K)
-    depth = jnp.einsum("nhwk,nk->nhw", bin_probs, centers)[..., None]
+    return edges, centers
+
+
+def bins_logits_to_depth(
+    bin_widths_normed: jax.Array,
+    logits: jax.Array,
+    min_depth: float,
+    max_depth: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused softmax-over-bins expectation directly from logits.
+
+    On TPU this runs the single-pass Pallas kernel (ops/pallas_bins.py); on
+    other backends it falls back to softmax + einsum (identical numerics).
+    """
+    edges, centers = bin_edges_centers(
+        bin_widths_normed.astype(jnp.float32), min_depth, max_depth
+    )
+    if jax.default_backend() == "tpu":
+        from objcavit_tpu.ops.pallas_bins import fused_bins_depth
+
+        depth = fused_bins_depth(logits, centers)
+    else:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        depth = jnp.einsum("nhwk,nk->nhw", probs, centers)[..., None]
     return depth, edges
