@@ -145,18 +145,29 @@ class SqueezeExcite(nn.Module):
         return x * self.gate(s)
 
 
+def conv_padding(pad_style: str, kernel_size) -> Any:
+    """'tf' -> asymmetric SAME (tf_efficientnet_* variants); 'torch' ->
+    symmetric k//2 padding (torchvision efficientnet_v2_*)."""
+    if pad_style == "tf":
+        return "SAME"
+    kh, kw = kernel_size
+    return ((kh // 2, kh // 2), (kw // 2, kw // 2))
+
+
 class ConvBnAct(nn.Module):
     features: int
     kernel_size: Sequence[int] = (3, 3)
     strides: Sequence[int] = (1, 1)
     bn_eps: float = 1e-3
     act: Callable | None = jax.nn.silu
+    pad_style: str = "tf"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchConv(
             self.features, self.kernel_size, self.strides, use_bias=False,
+            padding=conv_padding(self.pad_style, self.kernel_size),
             dtype=self.dtype, name="conv",
         )(x)
         x = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="bn")(
@@ -177,6 +188,7 @@ class MBConv(nn.Module):
     se_ratio: float = 0.25
     drop_path_rate: float = 0.0
     bn_eps: float = 1e-3
+    pad_style: str = "tf"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -188,8 +200,10 @@ class MBConv(nn.Module):
             h = ConvBnAct(mid, (1, 1), bn_eps=self.bn_eps, dtype=self.dtype,
                           name="expand")(h, train)
         # depthwise
+        k2 = (self.kernel_size, self.kernel_size)
         h = TorchConv(
-            mid, (self.kernel_size, self.kernel_size), (self.stride, self.stride),
+            mid, k2, (self.stride, self.stride),
+            padding=conv_padding(self.pad_style, k2),
             feature_group_count=mid, use_bias=False, dtype=self.dtype, name="dw_conv",
         )(h)
         h = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="dw_bn")(
@@ -217,13 +231,16 @@ class DepthwiseSeparable(nn.Module):
     se_ratio: float = 0.25
     drop_path_rate: float = 0.0
     bn_eps: float = 1e-3
+    pad_style: str = "tf"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
+        k2 = (self.kernel_size, self.kernel_size)
         h = TorchConv(
-            in_ch, (self.kernel_size, self.kernel_size), (self.stride, self.stride),
+            in_ch, k2, (self.stride, self.stride),
+            padding=conv_padding(self.pad_style, k2),
             feature_group_count=in_ch, use_bias=False, dtype=self.dtype, name="dw_conv",
         )(x)
         h = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="dw_bn")(
@@ -251,6 +268,7 @@ class FusedMBConv(nn.Module):
     stride: int
     drop_path_rate: float = 0.0
     bn_eps: float = 1e-3
+    pad_style: str = "tf"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -259,12 +277,14 @@ class FusedMBConv(nn.Module):
         mid = int(in_ch * self.expand_ratio)
         if self.expand_ratio != 1:
             h = ConvBnAct(mid, (self.kernel_size,) * 2, (self.stride,) * 2,
-                          bn_eps=self.bn_eps, dtype=self.dtype, name="expand")(x, train)
+                          bn_eps=self.bn_eps, pad_style=self.pad_style,
+                          dtype=self.dtype, name="expand")(x, train)
             h = ConvBnAct(self.out_channels, (1, 1), bn_eps=self.bn_eps, act=None,
                           dtype=self.dtype, name="project")(h, train)
         else:
             h = ConvBnAct(self.out_channels, (self.kernel_size,) * 2,
                           (self.stride,) * 2, bn_eps=self.bn_eps,
+                          pad_style=self.pad_style,
                           dtype=self.dtype, name="project")(x, train)
         if self.stride == 1 and in_ch == self.out_channels:
             rng = self.make_rng("droppath") if (train and self.drop_path_rate > 0) else None

@@ -43,6 +43,7 @@ class EncoderSpec:
     stages: tuple
     skip_stages: tuple  # indices (into stages) of the 4 skip features
     skip_channels: tuple  # channels of the 4 skips + bottleneck, low-res first
+    pad_style: str = "tf"  # 'tf' (tf_efficientnet_*) | 'torch' (torchvision v2)
 
 
 def _round_channels(c: float) -> int:
@@ -122,6 +123,7 @@ ENCODER_SPECS = {
         stages=_V2_S_STAGES,
         skip_stages=(0, 1, 2, 4),
         skip_channels=(24, 48, 64, 160, 1280),
+        pad_style="torch",
     ),
     "efficientnet-v2-m": EncoderSpec(
         stem_channels=24,
@@ -129,6 +131,7 @@ ENCODER_SPECS = {
         stages=_V2_M_STAGES,
         skip_stages=(0, 1, 2, 4),
         skip_channels=(24, 48, 80, 176, 1280),
+        pad_style="torch",
     ),
 }
 
@@ -150,7 +153,8 @@ class EfficientNetEncoder(nn.Module):
     def __call__(self, x, train: bool = False):
         spec = ENCODER_SPECS[self.encoder_name]
         x = ConvBnAct(
-            spec.stem_channels, (3, 3), (2, 2), dtype=self.dtype, name="stem"
+            spec.stem_channels, (3, 3), (2, 2), pad_style=spec.pad_style,
+            dtype=self.dtype, name="stem",
         )(x, train)
         skips = []
         total_blocks = sum(s[2] for s in spec.stages)
@@ -164,18 +168,18 @@ class EfficientNetEncoder(nn.Module):
                 name = f"stage{si}_block{bi}"
                 if btype == "ds":
                     x = DepthwiseSeparable(
-                        out_ch, kernel, s, drop_path_rate=dpr, dtype=self.dtype,
-                        name=name,
+                        out_ch, kernel, s, drop_path_rate=dpr,
+                        pad_style=spec.pad_style, dtype=self.dtype, name=name,
                     )(x, train)
                 elif btype == "mb":
                     x = MBConv(
                         out_ch, expand, kernel, s, drop_path_rate=dpr,
-                        dtype=self.dtype, name=name,
+                        pad_style=spec.pad_style, dtype=self.dtype, name=name,
                     )(x, train)
                 else:  # fused (v2)
                     x = FusedMBConv(
                         out_ch, expand, kernel, s, drop_path_rate=dpr,
-                        dtype=self.dtype, name=name,
+                        pad_style=spec.pad_style, dtype=self.dtype, name=name,
                     )(x, train)
                 block_idx += 1
             if si in spec.skip_stages:

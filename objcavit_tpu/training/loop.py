@@ -159,6 +159,17 @@ class Trainer:
         )
         state = self._init_state(train_loader, tx)
 
+        # warm start (main.py:26-28 load_from_checkpoint)
+        warm = args.basic.get("from_checkpoint")
+        if warm and os.path.exists(warm):
+            restored = restore_checkpoint(warm, args=args)
+            if isinstance(restored, dict) and "params" in restored:
+                state = state.replace(
+                    params=restored["params"],
+                    batch_stats=restored.get("batch_stats", state.batch_stats),
+                )
+                logger.info("warm-started from %s", warm)
+
         train_step = jax.jit(
             make_train_step(
                 self.model, tx, self.loss, self.dataset_cfg.min_depth,
@@ -211,9 +222,9 @@ class Trainer:
                     )
 
             if (epoch + 1) % args.basic.get("validate_every", 1) == 0:
-                last_metrics = self._run_eval(
+                last_metrics, last_batch = self._run_eval(
                     eval_step, state.params, state.batch_stats, val_loader,
-                    limit=1 if self.debug else None,
+                    limit=1 if self.debug else None, keep_last_batch=True,
                 )
                 logger.info(
                     "epoch %d val: abs_rel %.4f rmse %.4f (%.1fs)",
@@ -224,6 +235,7 @@ class Trainer:
                     for k, v in last_metrics.items():
                         fam = "metrics_ra" if k.endswith("_ra") else "metrics"
                         writer.add_scalar(f"{fam}/{k}", v, step)
+                    self._log_sample_figure(writer, "val/samples", last_batch, step)
                 ckpt.save(state, abs_rel=last_metrics["abs_rel"])
 
         if swa_cfg and swa_params is not None:
@@ -233,18 +245,25 @@ class Trainer:
         return state, last_metrics
 
     # ----------------------------------------------------------------- eval
-    def _run_eval(self, eval_step, params, batch_stats, loader, limit=None):
+    def _run_eval(self, eval_step, params, batch_stats, loader, limit=None,
+                  keep_last_batch=False):
         metric_state = metrics_init()
+        last = None
         for i, (batch, _meta) in enumerate(loader):
             if limit is not None and i >= limit:
                 break
             objects, mirrored = self._objects_for(jax.tree.map(np.asarray, batch))
             obj_dev = shard_batch(self.mesh, objects) if objects else None
             mir_dev = shard_batch(self.mesh, mirrored) if mirrored else None
-            metric_state, loss, _ = eval_step(
+            metric_state, loss, depth_pred = eval_step(
                 params, batch_stats, batch, obj_dev, mir_dev, metric_state
             )
-        return {k: float(v) for k, v in metrics_compute(metric_state).items()}
+            if keep_last_batch:
+                last = (batch, depth_pred)
+        metrics = {k: float(v) for k, v in metrics_compute(metric_state).items()}
+        if keep_last_batch:
+            return metrics, last
+        return metrics
 
     def validate(self):
         """-v flow: restore checkpoint, evaluate, write validation_output.txt."""
@@ -341,6 +360,23 @@ class Trainer:
         tx = build_optimizer(args.optimizer.lr, args.optimizer.wd, 1)
         state = self._init_state(loader, tx)
         return {"params": state.params, "batch_stats": state.batch_stats}
+
+    def _log_sample_figure(self, writer, tag, last_batch, step):
+        """RGB / GT / prediction grid to TensorBoard (FigureBuilder parity)."""
+        if last_batch is None:
+            return
+        try:
+            from objcavit_tpu.utils.figures import build_batch_figure
+
+            batch, depth_pred = last_batch
+            fig = build_batch_figure(
+                np.asarray(batch["image"]), np.asarray(batch["depth"]),
+                np.asarray(depth_pred),
+                num_samples=min(4, int(batch["image"].shape[0])),
+            )
+            writer.add_figure(tag, fig, step)
+        except Exception as e:  # figures must never kill training
+            logger.warning("figure logging failed: %s", e)
 
     def _tb_writer(self, run_dir):
         try:
