@@ -31,7 +31,17 @@ class DeviceLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         pad_final: bool = True,
+        host_hook=None,
+        synchronous: bool = False,
     ):
+        """host_hook(batch_np) -> dict of extra arrays, computed in the
+        prefetch thread on the *host* batch before upload (e.g. the object
+        provider) — never a device->host round trip on the training path.
+
+        synchronous=True disables the prefetch thread (reference --debug /
+        num_workers=0 semantics). Also required on 1-core hosts running many
+        virtual CPU devices: a competing loader thread can starve XLA's
+        collective rendezvous past its 40s termination timeout."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.mesh = mesh
@@ -39,6 +49,8 @@ class DeviceLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.pad_final = pad_final
+        self.host_hook = host_hook
+        self.synchronous = synchronous
         self.epoch = 0
         self._rng = np.random.default_rng(seed)
 
@@ -83,12 +95,22 @@ class DeviceLoader:
             yield batch, meta
 
     def __iter__(self):
+        if self.synchronous:
+            for batch, meta in self._host_batches():
+                if self.host_hook is not None:
+                    batch.update(self.host_hook(batch))
+                yield shard_batch(self.mesh, batch), meta
+            self.epoch += 1
+            return
+
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
         def worker():
             try:
                 for batch, meta in self._host_batches():
+                    if self.host_hook is not None:
+                        batch.update(self.host_hook(batch))
                     q.put((shard_batch(self.mesh, batch), meta))
                 q.put(stop)
             except BaseException as e:  # surface errors to the consumer

@@ -117,6 +117,24 @@ _V2_M_STAGES = (
 ENCODER_SPECS = {
     "efficientnet-b5": _b_spec(1.6, 2.2),
     "efficientnet-b1": _b_spec(1.0, 1.1),
+    # test/CI-only: same 7-stage topology and skip contract as the b-series
+    # but one tiny block per stage — keeps multi-device train-step tests fast
+    # enough for hosts where 8 virtual devices share one core
+    "efficientnet-tiny": EncoderSpec(
+        stem_channels=8,
+        head_channels=64,
+        stages=(
+            ("ds", 8, 1, 3, 1, 1),
+            ("mb", 16, 1, 3, 2, 2),
+            ("mb", 16, 1, 3, 2, 2),
+            ("mb", 24, 1, 3, 2, 2),
+            ("mb", 24, 1, 3, 1, 2),
+            ("mb", 32, 1, 3, 2, 2),
+            ("mb", 32, 1, 3, 1, 2),
+        ),
+        skip_stages=(0, 1, 2, 4),
+        skip_channels=(8, 16, 16, 24, 64),
+    ),
     "efficientnet-v2-s": EncoderSpec(
         stem_channels=24,
         head_channels=1280,

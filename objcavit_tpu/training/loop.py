@@ -35,7 +35,7 @@ from objcavit_tpu.metrics import (
     metrics_compute,
     metrics_init,
 )
-from objcavit_tpu.parallel import make_mesh, shard_batch
+from objcavit_tpu.parallel import make_mesh
 from objcavit_tpu.training.checkpoint import CheckpointManager, restore_checkpoint
 from objcavit_tpu.training.optim import build_optimizer
 from objcavit_tpu.training.providers import (
@@ -81,6 +81,8 @@ class Trainer:
         )
         self.augment_on_device = not bool(args.basic.get("use_adabins_dataloader"))
         self.n_obj_max = int(args.get("objects_max", 32))
+        # num_workers == 0 (debug) -> synchronous loading, reference semantics
+        self.sync_loading = int(args.hardware.get("num_workers", 0) or 0) == 0
         self.provider = self._build_provider()
 
     def _build_provider(self):
@@ -101,23 +103,25 @@ class Trainer:
                 return StubObjectProvider(self.n_obj_max)
         raise ValueError(f"unknown language strategy {strat}")
 
-    def _objects_for(self, batch_np: dict) -> tuple[dict, dict]:
+    def _host_hook(self, batch_np: dict) -> dict:
+        """Object provider, run in the loader's prefetch thread on the host
+        batch (never a device->host round trip on the training path)."""
         if not self.is_graphbins:
-            return None, None
+            return {}
         objects = self.provider(batch_np["image"])
         mirrored = mirror_objects(objects, batch_np["image"].shape[2])
-        return objects, mirrored
+        return {"objects": objects, "objects_mirror": mirrored}
 
     def _init_state(self, loader, tx) -> TrainState:
         batch, _ = next(iter(loader))
-        objects, _ = self._objects_for(jax.tree.map(np.asarray, batch))
         inputs = (batch["image"],)
         if self.is_graphbins:
+            objects = batch["objects"]
             inputs = (
                 batch["image"],
-                jnp.asarray(objects["features"]),
-                jnp.asarray(objects["xywh"]),
-                jnp.asarray(objects["valid"]),
+                objects["features"],
+                objects["xywh"],
+                objects["valid"],
             )
         variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), *inputs)
         params = variables["params"]
@@ -139,9 +143,15 @@ class Trainer:
         val_ds = make_dataset(args, "online_eval")
         bs = args.basic.batch_size
         train_loader = DeviceLoader(
-            train_ds, bs, self.mesh, shuffle=True, seed=42, drop_last=False
+            train_ds, bs, self.mesh, shuffle=True, seed=42, drop_last=False,
+            host_hook=self._host_hook if self.is_graphbins else None,
+            synchronous=self.sync_loading,
         )
-        val_loader = DeviceLoader(val_ds, bs, self.mesh, shuffle=False)
+        val_loader = DeviceLoader(
+            val_ds, bs, self.mesh, shuffle=False,
+            host_hook=self._host_hook if self.is_graphbins else None,
+            synchronous=self.sync_loading,
+        )
 
         max_epochs = 1 if self.debug else args.basic.max_epochs
         steps_per_epoch = 1 if self.debug else len(train_loader)
@@ -194,10 +204,7 @@ class Trainer:
             for i, (batch, _meta) in enumerate(train_loader):
                 if i >= steps_per_epoch:
                     break
-                objects, _ = self._objects_for(jax.tree.map(np.asarray, batch))
-                obj_dev = (
-                    shard_batch(self.mesh, objects) if objects is not None else None
-                )
+                obj_dev = batch.get("objects")
                 rng, step_rng = jax.random.split(rng)
                 state, loss = train_step(state, batch, obj_dev, step_rng)
                 step += 1
@@ -252,11 +259,9 @@ class Trainer:
         for i, (batch, _meta) in enumerate(loader):
             if limit is not None and i >= limit:
                 break
-            objects, mirrored = self._objects_for(jax.tree.map(np.asarray, batch))
-            obj_dev = shard_batch(self.mesh, objects) if objects else None
-            mir_dev = shard_batch(self.mesh, mirrored) if mirrored else None
             metric_state, loss, depth_pred = eval_step(
-                params, batch_stats, batch, obj_dev, mir_dev, metric_state
+                params, batch_stats, batch, batch.get("objects"),
+                batch.get("objects_mirror"), metric_state
             )
             if keep_last_batch:
                 last = (batch, depth_pred)
@@ -270,7 +275,11 @@ class Trainer:
         args = self.args
         args.basic.batch_size = 1  # protocol: bs=1 (main.py:58)
         val_ds = make_dataset(args, "online_eval")
-        loader = DeviceLoader(val_ds, 1, self.mesh, shuffle=False)
+        loader = DeviceLoader(
+            val_ds, 1, self.mesh, shuffle=False,
+            host_hook=self._host_hook if self.is_graphbins else None,
+            synchronous=self.sync_loading,
+        )
         state = self._restore_for_eval(loader)
         eval_step = jax.jit(
             make_eval_step(self.model, self.loss, self.mp_cfg,
@@ -294,7 +303,11 @@ class Trainer:
         args = self.args
         args.basic.batch_size = 1
         val_ds = make_dataset(args, "online_eval")
-        loader = DeviceLoader(val_ds, 1, self.mesh, shuffle=False)
+        loader = DeviceLoader(
+            val_ds, 1, self.mesh, shuffle=False,
+            host_hook=self._host_hook if self.is_graphbins else None,
+            synchronous=self.sync_loading,
+        )
         state = self._restore_for_eval(loader)
         eval_step = jax.jit(
             make_eval_step(self.model, self.loss, self.mp_cfg,
@@ -306,8 +319,7 @@ class Trainer:
         for i, (batch, meta) in enumerate(loader):
             if self.debug and i >= 1:
                 break
-            objects, mirrored = self._objects_for(jax.tree.map(np.asarray, batch))
-            obj_dev = shard_batch(self.mesh, objects) if objects else None
+            obj_dev = batch.get("objects")
             metric_state, loss, depth_pred = eval_step(
                 state["params"], state["batch_stats"], batch, obj_dev, obj_dev,
                 metrics_init(),
@@ -323,7 +335,7 @@ class Trainer:
             }
             rows.append(row)
             self._save_prediction_figures(
-                out_dir, i, batch, depth_pred, objects=objects
+                out_dir, i, batch, depth_pred, objects=obj_dev
             )
         with open(os.path.join(out_dir, "prediction_metrics.csv"), "w", newline="") as f:
             if rows:

@@ -14,7 +14,7 @@ RNG = np.random.default_rng(19)
 def _tiny_pipeline(output_at_input_res=False):
     dims = (64, 96)
     model = GraphBins(
-        encoder_name="efficientnet-b1", n_bins=16, min_depth=0.001,
+        encoder_name="efficientnet-tiny", n_bins=16, min_depth=0.001,
         max_depth=10.0, pos_strategy="learned_bbox_wh",
         dims_train=dims, dims_test=dims,
     )

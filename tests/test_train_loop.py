@@ -23,7 +23,7 @@ TINY = {
     },
     "model": {"name": "graphbins"},
     "graphbins": {
-        "n_bins": 16, "slow_encoder": 10, "encoder_name": "efficientnet-b1",
+        "n_bins": 16, "slow_encoder": 10, "encoder_name": "efficientnet-tiny",
         "yolov7_chkpt": "none",
         "objcavit": {
             "positional_embedding_strategy": "learned_bbox_wh",
@@ -32,7 +32,7 @@ TINY = {
             "language_embedding_strategy": "control_obj_zeros_512",
         },
     },
-    "adabins": {"n_bins": 16, "encoder_name": "efficientnet-b1"},
+    "adabins": {"n_bins": 16, "encoder_name": "efficientnet-tiny"},
     "loss": {"names": ["silog", "bins_chamfer"], "coeffs": [1, 0.1]},
     "paths": {"data_dir": "/nonexistent", "run_dir": None},  # -> synthetic data
     "nyu": {
