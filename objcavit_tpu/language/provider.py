@@ -53,7 +53,7 @@ class YoloClipObjectProvider:
                 feats[i, 0] = self.embedder.embed(["<UNK>"])[0]
                 continue
             # reference consumes detections lowest-confidence-first
-            order = np.argsort(det["conf"][i][:n])
+            order = np.argsort(det["scores"][i][:n])
             names = [det["names"][i][j] for j in order]
             boxes = det["xywh"][i][order]
             phrases = self.strategy.phrases_for_image(names, boxes)

@@ -17,7 +17,7 @@ Layout: sequences are (B, S, E); feature maps NHWC.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -332,6 +332,14 @@ class Yolov7SegDetector:
             from objcavit_tpu.utils.torch_import import load_yolov7_weights
 
             params = load_yolov7_weights(checkpoint, self.model)
+        elif params is None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "YOLOv7 checkpoint %s not found — detector runs with random "
+                "weights (pipeline exercise only, detections are noise)",
+                checkpoint,
+            )
         self._params = params
         self._jitted = {}
 

@@ -11,8 +11,6 @@ Masking convention follows torch ``key_padding_mask``: boolean, True = masked
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

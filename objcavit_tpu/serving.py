@@ -17,7 +17,6 @@ program is latency-optimal (one dispatch per frame batch).
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +101,53 @@ class DepthPipeline:
                 self.mesh, (frames, feats, xywh, valid)
             )
         return self._fns[shape](self.variables, frames, feats, xywh, valid)
+
+
+def stream_depth(pipeline: DepthPipeline, frames_iter, batch_size: int = 8):
+    """Streaming video inference: batches frames from an iterator and keeps
+    host decode/transfer overlapped with device compute via a prefetch thread
+    (one batch in flight). Yields (frames_u8, depth) per batch; a final
+    partial batch is zero-padded on the host and trimmed on yield.
+    """
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=2)
+    stop = object()
+
+    def feeder():
+        try:
+            buf = []
+            for frame in frames_iter:
+                buf.append(frame)
+                if len(buf) == batch_size:
+                    q.put((np.stack(buf), batch_size))
+                    buf = []
+            if buf:
+                n = len(buf)
+                pad = [np.zeros_like(buf[0])] * (batch_size - n)
+                q.put((np.stack(buf + pad), n))
+            q.put(stop)
+        except BaseException as e:
+            q.put(e)
+
+    threading.Thread(target=feeder, daemon=True).start()
+    pending = None  # (frames, n, depth-in-flight)
+    while True:
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        if item is stop:
+            break
+        frames, n = item
+        depth = pipeline(frames)  # async dispatch; overlaps with next decode
+        if pending is not None:
+            pf, pn, pd = pending
+            yield pf[:pn], np.asarray(pd)[:pn]
+        pending = (frames, n, depth)
+    if pending is not None:
+        pf, pn, pd = pending
+        yield pf[:pn], np.asarray(pd)[:pn]
 
 
 def build_flagship_pipeline(

@@ -20,7 +20,6 @@ import csv
 import logging
 import os
 import time
-from typing import Any
 
 import jax
 import jax.numpy as jnp

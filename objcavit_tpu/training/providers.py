@@ -18,8 +18,6 @@ Providers:
 
 from __future__ import annotations
 
-from typing import Any
-
 import numpy as np
 
 

@@ -14,7 +14,6 @@ Eval replaces the reference's two sequential forwards for flip-TTA
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

@@ -20,7 +20,7 @@ Weight layout conversions:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 import numpy as np
 

@@ -44,3 +44,20 @@ def test_pipeline_output_at_input_res():
     frames = RNG.integers(0, 255, (8, 120, 160, 3), dtype=np.uint8)
     depth = np.asarray(pipe(frames))
     assert depth.shape == (8, 120, 160, 1)
+
+
+def test_stream_depth_batches_and_trims():
+    from objcavit_tpu.serving import stream_depth
+
+    pipe = _tiny_pipeline()
+    frames = [
+        RNG.integers(0, 255, (120, 160, 3), dtype=np.uint8) for _ in range(19)
+    ]
+    out_frames, out_depths = [], []
+    for f, d in stream_depth(pipe, iter(frames), batch_size=8):
+        out_frames.append(f)
+        out_depths.append(d)
+    assert [f.shape[0] for f in out_frames] == [8, 8, 3]  # final batch trimmed
+    total = np.concatenate(out_depths)
+    assert total.shape == (19, 32, 48, 1)
+    assert np.isfinite(total).all()
