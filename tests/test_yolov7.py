@@ -87,3 +87,22 @@ def test_yolov7seg_forward_shapes_and_decode():
     # decoded centres live inside the image + one anchor cell margin
     b = np.asarray(boxes)
     assert (b[..., :2] > -16).all() and (b[..., :2] < 64 + 16).all()
+
+
+def test_process_masks_crops_and_upsamples():
+    from objcavit_tpu.ops.masks import process_masks
+
+    hp, wp, nm = 8, 12, 4
+    proto = jnp.asarray(RNG.standard_normal((hp, wp, nm)).astype(np.float32))
+    coeffs = jnp.asarray(RNG.standard_normal((2, nm)).astype(np.float32) * 3)
+    # box 0 covers the left half; box 1 is an invalid slot
+    boxes = jnp.asarray(np.array([[0, 0, 48, 64], [0, 0, 96, 64]], np.float32))
+    valid = jnp.asarray(np.array([True, False]))
+    masks = np.asarray(process_masks(proto, coeffs, boxes, valid, (64, 96)))
+    assert masks.shape == (2, 64, 96)
+    assert (masks >= 0).all() and (masks <= 1).all()
+    # outside box 0 (right half) the mask must be ~0 (bilinear edge bleed only)
+    assert masks[0, :, 56:].max() < 0.6
+    assert masks[0, :, :40].max() > 0.5  # something survives inside
+    # invalid slot produces an all-zero mask
+    assert masks[1].max() == 0.0
