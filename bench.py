@@ -1,15 +1,27 @@
 #!/usr/bin/env python
 """Benchmark: flagship GraphBins-B5 NYU eval-resolution inference throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Baseline: the project north star is >=2000 NYUv2 640x480 depth maps/sec on a
 v5e-8 at quality parity (BASELINE.json) => 250 img/s/chip. vs_baseline is
 measured img/s/chip divided by 250. The reference publishes no throughput
 numbers of its own (BASELINE.md).
 
-Timing note: jax.block_until_ready does not fully synchronise through the
-axon TPU tunnel, so completion is forced with a host readback.
+Two numbers are measured:
+  * value — the flagship GraphBins-B5 forward (bf16, BatchNorm folded, object
+    features pre-supplied), the model-only throughput.
+  * extras.serving_fused_img_per_s — the full fused serving program:
+    device-resident uint8 frames -> resize/normalise -> YOLOv7-seg ->
+    fixed-shape NMS -> class-embedding gather -> GraphBins depth, one XLA
+    program, zero host round-trips (serving.FusedDepthPipeline). Detector and
+    CLIP table are randomly initialised (weights aren't in this image), which
+    does not affect op timing.
+
+Timing notes: jax.block_until_ready does not fully synchronise through the
+axon TPU tunnel, so completion is forced with a host readback; each
+measurement takes the best of 3 trials to reject transient tunnel stalls
+(observed: a one-off 20x slowdown that vanished on re-run).
 """
 
 import json
@@ -18,37 +30,85 @@ import time
 import numpy as np
 
 
+def _best_of(fn, sync, trials=3, n_iter=30):
+    fn()  # warm / compile
+    sync()
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fn()
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from objcavit_tpu.models import GraphBins
+    from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
     batch = 8
     h, w, n_obj = 480, 640, 32
-    model = GraphBins(
+    kw = dict(
         encoder_name="efficientnet-b5", n_bins=256, min_depth=0.001,
         max_depth=10.0, pos_strategy="learned_bbox_wh",
         dims_train=(416, 544), dims_test=(480, 640), dtype=jnp.bfloat16,
     )
+    model = GraphBins(**kw)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((batch, h, w, 3)).astype(np.float32))
     feats = jnp.asarray(rng.standard_normal((batch, n_obj, 512)).astype(np.float32))
     xywh = jnp.asarray(rng.uniform(0, 600, (batch, n_obj, 4)).astype(np.float32))
     valid = jnp.asarray(rng.uniform(size=(batch, n_obj)) < 0.5)
 
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), img, feats, xywh, valid)
-    fwd = jax.jit(lambda p, *a: model.apply(p, *a))
-    float(jnp.sum(fwd(params, img, feats, xywh, valid)["depth_pred"]))  # warm
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, feats, xywh, valid)
+    folded = fold_batchnorm(variables)
+    fmodel = GraphBins(**kw, fold_bn=True)
+    fwd = jax.jit(lambda p, *a: fmodel.apply(p, *a))
 
-    n_iter = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fwd(params, img, feats, xywh, valid)
-    float(jnp.sum(out["depth_pred"]))  # force completion (axon sync quirk)
-    dt = (time.perf_counter() - t0) / n_iter
+    out_holder = {}
 
+    def run():
+        out_holder["o"] = fwd(folded, img, feats, xywh, valid)
+        return out_holder["o"]
+
+    def sync(_=None):
+        float(jnp.sum(out_holder["o"]["depth_pred"]))
+
+    dt = _best_of(run, sync)
     img_per_s = batch / dt
+
+    # --- fused serving pipeline (uint8 -> detector -> embed -> depth) -------
+    from objcavit_tpu.models.yolov7 import Yolov7Seg
+    from objcavit_tpu.serving import FusedDepthPipeline
+
+    num_classes = 1203
+    det_model = Yolov7Seg(num_classes=num_classes)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8)
+    )  # device-resident: the tunnel's ~38 MB/s host link is not the metric
+    det_params = jax.jit(det_model.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, h, w, 3), jnp.float32)
+    )
+    table = rng.standard_normal((num_classes + 1, 512)).astype(np.float32)
+    pipe = FusedDepthPipeline(
+        fmodel, folded, det_model, det_params, table,
+        eval_dims=(h, w), n_obj_max=n_obj,
+    )
+
+    def run_pipe():
+        out_holder["p"] = pipe(frames)
+        return out_holder["p"]
+
+    def sync_pipe(_=None):
+        float(jnp.sum(out_holder["p"]))
+
+    dt_pipe = _best_of(run_pipe, sync_pipe, n_iter=20)
+    serving_img_per_s = batch / dt_pipe
+
     print(
         json.dumps(
             {
@@ -56,6 +116,8 @@ def main():
                 "value": round(img_per_s, 1),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / 250.0, 3),
+                "serving_fused_img_per_s": round(serving_img_per_s, 1),
+                "serving_fused_vs_baseline": round(serving_img_per_s / 250.0, 3),
             }
         )
     )

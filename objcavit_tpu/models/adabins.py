@@ -25,6 +25,7 @@ class AdaBins(nn.Module):
     max_depth: float = 10.0
     do_final_upscale: bool = False
     drop_path_rate: float = 0.0
+    fold_bn: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
 
@@ -32,7 +33,8 @@ class AdaBins(nn.Module):
     def __call__(self, image, train: bool = False):
         unet_out = DenseFeatureExtractor(
             self.encoder_name, do_final_upscale=self.do_final_upscale,
-            drop_path_rate=self.drop_path_rate, dtype=self.dtype,
+            drop_path_rate=self.drop_path_rate, fold_bn=self.fold_bn,
+            dtype=self.dtype,
             name="dense_feature_extractor",
         )(image, train)
 

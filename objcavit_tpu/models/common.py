@@ -155,24 +155,31 @@ def conv_padding(pad_style: str, kernel_size) -> Any:
 
 
 class ConvBnAct(nn.Module):
+    """conv -> BN -> act; with ``fold_bn`` the BN affine is pre-folded into the
+    conv weights+bias (inference only — see utils/fold_bn.py)."""
+
     features: int
     kernel_size: Sequence[int] = (3, 3)
     strides: Sequence[int] = (1, 1)
     bn_eps: float = 1e-3
     act: Callable | None = jax.nn.silu
     pad_style: str = "tf"
+    fold_bn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.fold_bn and train), "fold_bn is inference-only"
         x = TorchConv(
-            self.features, self.kernel_size, self.strides, use_bias=False,
+            self.features, self.kernel_size, self.strides,
+            use_bias=self.fold_bn,
             padding=conv_padding(self.pad_style, self.kernel_size),
             dtype=self.dtype, name="conv",
         )(x)
-        x = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="bn")(
-            x, use_running_average=not train
-        )
+        if not self.fold_bn:
+            x = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="bn")(
+                x, use_running_average=not train
+            )
         if self.act is not None:
             x = self.act(x)
         return x
@@ -189,6 +196,7 @@ class MBConv(nn.Module):
     drop_path_rate: float = 0.0
     bn_eps: float = 1e-3
     pad_style: str = "tf"
+    fold_bn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -197,24 +205,27 @@ class MBConv(nn.Module):
         mid = int(in_ch * self.expand_ratio)
         h = x
         if self.expand_ratio != 1:
-            h = ConvBnAct(mid, (1, 1), bn_eps=self.bn_eps, dtype=self.dtype,
-                          name="expand")(h, train)
+            h = ConvBnAct(mid, (1, 1), bn_eps=self.bn_eps, fold_bn=self.fold_bn,
+                          dtype=self.dtype, name="expand")(h, train)
         # depthwise
         k2 = (self.kernel_size, self.kernel_size)
         h = TorchConv(
             mid, k2, (self.stride, self.stride),
             padding=conv_padding(self.pad_style, k2),
-            feature_group_count=mid, use_bias=False, dtype=self.dtype, name="dw_conv",
+            feature_group_count=mid, use_bias=self.fold_bn, dtype=self.dtype,
+            name="dw_conv",
         )(h)
-        h = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="dw_bn")(
-            h, use_running_average=not train
-        )
+        if not self.fold_bn:
+            h = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="dw_bn")(
+                h, use_running_average=not train
+            )
         h = jax.nn.silu(h)
         if self.se_ratio > 0:
             se_ch = max(1, int(in_ch * self.se_ratio))
             h = SqueezeExcite(se_ch, dtype=self.dtype, name="se")(h)
         h = ConvBnAct(self.out_channels, (1, 1), bn_eps=self.bn_eps, act=None,
-                      dtype=self.dtype, name="project")(h, train)
+                      fold_bn=self.fold_bn, dtype=self.dtype,
+                      name="project")(h, train)
         if self.stride == 1 and in_ch == self.out_channels:
             rng = self.make_rng("droppath") if (train and self.drop_path_rate > 0) else None
             h = drop_path(h, self.drop_path_rate, not train, rng)
@@ -232,6 +243,7 @@ class DepthwiseSeparable(nn.Module):
     drop_path_rate: float = 0.0
     bn_eps: float = 1e-3
     pad_style: str = "tf"
+    fold_bn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -241,17 +253,20 @@ class DepthwiseSeparable(nn.Module):
         h = TorchConv(
             in_ch, k2, (self.stride, self.stride),
             padding=conv_padding(self.pad_style, k2),
-            feature_group_count=in_ch, use_bias=False, dtype=self.dtype, name="dw_conv",
+            feature_group_count=in_ch, use_bias=self.fold_bn, dtype=self.dtype,
+            name="dw_conv",
         )(x)
-        h = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="dw_bn")(
-            h, use_running_average=not train
-        )
+        if not self.fold_bn:
+            h = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="dw_bn")(
+                h, use_running_average=not train
+            )
         h = jax.nn.silu(h)
         if self.se_ratio > 0:
             se_ch = max(1, int(in_ch * self.se_ratio))
             h = SqueezeExcite(se_ch, dtype=self.dtype, name="se")(h)
         h = ConvBnAct(self.out_channels, (1, 1), bn_eps=self.bn_eps, act=None,
-                      dtype=self.dtype, name="project")(h, train)
+                      fold_bn=self.fold_bn, dtype=self.dtype,
+                      name="project")(h, train)
         if self.stride == 1 and in_ch == self.out_channels:
             rng = self.make_rng("droppath") if (train and self.drop_path_rate > 0) else None
             h = drop_path(h, self.drop_path_rate, not train, rng)
@@ -269,6 +284,7 @@ class FusedMBConv(nn.Module):
     drop_path_rate: float = 0.0
     bn_eps: float = 1e-3
     pad_style: str = "tf"
+    fold_bn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -278,13 +294,15 @@ class FusedMBConv(nn.Module):
         if self.expand_ratio != 1:
             h = ConvBnAct(mid, (self.kernel_size,) * 2, (self.stride,) * 2,
                           bn_eps=self.bn_eps, pad_style=self.pad_style,
+                          fold_bn=self.fold_bn,
                           dtype=self.dtype, name="expand")(x, train)
             h = ConvBnAct(self.out_channels, (1, 1), bn_eps=self.bn_eps, act=None,
+                          fold_bn=self.fold_bn,
                           dtype=self.dtype, name="project")(h, train)
         else:
             h = ConvBnAct(self.out_channels, (self.kernel_size,) * 2,
                           (self.stride,) * 2, bn_eps=self.bn_eps,
-                          pad_style=self.pad_style,
+                          pad_style=self.pad_style, fold_bn=self.fold_bn,
                           dtype=self.dtype, name="project")(x, train)
         if self.stride == 1 and in_ch == self.out_channels:
             rng = self.make_rng("droppath") if (train and self.drop_path_rate > 0) else None

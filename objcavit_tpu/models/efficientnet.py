@@ -165,6 +165,7 @@ class EfficientNetEncoder(nn.Module):
 
     encoder_name: str
     drop_path_rate: float = 0.0
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -172,7 +173,7 @@ class EfficientNetEncoder(nn.Module):
         spec = ENCODER_SPECS[self.encoder_name]
         x = ConvBnAct(
             spec.stem_channels, (3, 3), (2, 2), pad_style=spec.pad_style,
-            dtype=self.dtype, name="stem",
+            fold_bn=self.fold_bn, dtype=self.dtype, name="stem",
         )(x, train)
         skips = []
         total_blocks = sum(s[2] for s in spec.stages)
@@ -187,17 +188,20 @@ class EfficientNetEncoder(nn.Module):
                 if btype == "ds":
                     x = DepthwiseSeparable(
                         out_ch, kernel, s, drop_path_rate=dpr,
-                        pad_style=spec.pad_style, dtype=self.dtype, name=name,
+                        pad_style=spec.pad_style, fold_bn=self.fold_bn,
+                        dtype=self.dtype, name=name,
                     )(x, train)
                 elif btype == "mb":
                     x = MBConv(
                         out_ch, expand, kernel, s, drop_path_rate=dpr,
-                        pad_style=spec.pad_style, dtype=self.dtype, name=name,
+                        pad_style=spec.pad_style, fold_bn=self.fold_bn,
+                        dtype=self.dtype, name=name,
                     )(x, train)
                 else:  # fused (v2)
                     x = FusedMBConv(
                         out_ch, expand, kernel, s, drop_path_rate=dpr,
-                        pad_style=spec.pad_style, dtype=self.dtype, name=name,
+                        pad_style=spec.pad_style, fold_bn=self.fold_bn,
+                        dtype=self.dtype, name=name,
                     )(x, train)
                 block_idx += 1
             if si in spec.skip_stages:

@@ -37,6 +37,7 @@ class GraphBins(nn.Module):
     dims_train: tuple = (416, 544)
     dims_test: tuple = (480, 640)
     drop_path_rate: float = 0.0
+    fold_bn: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
 
@@ -51,7 +52,8 @@ class GraphBins(nn.Module):
     ):
         dense = DenseFeatureExtractor(
             self.encoder_name, do_final_upscale=self.do_final_upscale,
-            drop_path_rate=self.drop_path_rate, dtype=self.dtype,
+            drop_path_rate=self.drop_path_rate, fold_bn=self.fold_bn,
+            dtype=self.dtype,
             name="dense_feature_extractor",
         )(image, train)
 

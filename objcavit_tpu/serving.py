@@ -150,19 +150,115 @@ def stream_depth(pipeline: DepthPipeline, frames_iter, batch_size: int = 8):
         yield pf[:pn], np.asarray(pd)[:pn]
 
 
+class FusedDepthPipeline:
+    """uint8 frames -> YOLOv7-seg -> class-embedding gather -> depth, ONE program.
+
+    The reference's serving path hops device->host->device around the detector
+    (NMS sync, WordNet strings, CLIP tokenize — GraphBins.py:90-106). For the
+    per-class language strategies ('none', 'synset_def_wn') the phrase depends
+    only on the detected class, so CLIP collapses to a precomputed
+    (num_classes+1, 512) table; detection, embedding lookup, and depth then
+    fuse into a single jit-compiled XLA program with zero host round-trips.
+
+    The last table row is the <UNK> embedding, used for the reference's
+    no-detection sentinel (xywh=-1, one valid slot, ObjCAViT.py:310-315).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        detector_model,
+        detector_params,
+        class_table: np.ndarray,  # (num_classes + 1, 512), row -1 = <UNK>
+        eval_dims: tuple[int, int] = (480, 640),
+        n_obj_max: int = 32,
+        conf_thres: float = 0.25,
+        iou_thres: float = 0.45,
+    ):
+        self.model = model
+        self.variables = variables
+        self.detector_model = detector_model
+        self.detector_params = detector_params
+        self.class_table = jnp.asarray(class_table, jnp.float32)
+        self.eval_dims = eval_dims
+        self.n_obj_max = n_obj_max
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self._fns = {}
+
+    def _build(self, in_shape):
+        from objcavit_tpu.models.yolov7 import decode_predictions
+        from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy, xyxy_to_xywh
+
+        eh, ew = self.eval_dims
+        num_classes = self.class_table.shape[0] - 1
+
+        def run(variables, det_params, table, frames_u8):
+            x01 = frames_u8.astype(jnp.float32) / 255.0
+            x01 = resize_bilinear(x01, eh, ew, align_corners=False)
+            normed = (x01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+            preds, _proto = self.detector_model.apply(det_params, x01, train=False)
+            boxes, obj, cls, _coef = decode_predictions(preds, num_classes)
+            conf = obj[..., None] * cls
+            det = batched_nms(
+                xywh_to_xyxy(boxes), jnp.max(conf, -1), jnp.argmax(conf, -1),
+                self.conf_thres, self.iou_thres,
+                pre_topk=256, max_det=self.n_obj_max,
+            )
+            xywh = xyxy_to_xywh(det["boxes_xyxy"])
+            valid = det["valid"]
+            feats = table[det["classes"]] * valid[..., None]
+
+            # no-detection sentinel: slot 0 becomes a valid <UNK> object
+            none_found = ~jnp.any(valid, axis=1)
+            slot0 = jnp.zeros_like(valid).at[:, 0].set(True)
+            valid = valid | (slot0 & none_found[:, None])
+            unk = table[-1]
+            feats = jnp.where(
+                (slot0 & none_found[:, None])[..., None], unk, feats
+            )
+            xywh = jnp.where(
+                (slot0 & none_found[:, None])[..., None],
+                jnp.full_like(xywh, -1.0), xywh,
+            )
+
+            out = self.model.apply(variables, normed, feats, xywh, valid,
+                                   train=False)
+            return out["depth_pred"]
+
+        return jax.jit(run)
+
+    def __call__(self, frames_u8) -> jax.Array:
+        shape = tuple(frames_u8.shape)
+        if shape not in self._fns:
+            self._fns[shape] = self._build(shape)
+        return self._fns[shape](
+            self.variables, self.detector_params, self.class_table,
+            jnp.asarray(frames_u8),
+        )
+
+
 def build_flagship_pipeline(
-    dtype=jnp.bfloat16, eval_dims=(480, 640), seed: int = 0
+    dtype=jnp.bfloat16, eval_dims=(480, 640), seed: int = 0, fold: bool = True
 ) -> DepthPipeline:
     """Flagship GraphBins-B5 pipeline (random init when no weights on disk)."""
-    model = GraphBins(
+    kw = dict(
         encoder_name="efficientnet-b5", n_bins=256, min_depth=0.001,
         max_depth=10.0, pos_strategy="learned_bbox_wh",
         dims_train=(416, 544), dims_test=eval_dims, dtype=dtype,
     )
+    model = GraphBins(**kw)
     h, w = eval_dims
     img = jnp.zeros((1, h, w, 3), jnp.float32)
     feats = jnp.zeros((1, 32, 512), jnp.float32)
     xywh = jnp.full((1, 32, 4), -1.0, jnp.float32)
     valid = jnp.zeros((1, 32), bool).at[:, 0].set(True)
     variables = jax.jit(model.init)(jax.random.PRNGKey(seed), img, feats, xywh, valid)
+    if fold:
+        from objcavit_tpu.utils.fold_bn import fold_batchnorm
+
+        variables = fold_batchnorm(variables)
+        model = GraphBins(**kw, fold_bn=True)
     return DepthPipeline(model, variables, eval_dims=eval_dims)
