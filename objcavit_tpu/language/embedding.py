@@ -76,9 +76,20 @@ class ClipEmbedder:
         return np.stack([self._cache[p] for p in phrases])
 
 
-def make_embedder(strategy: str, clip_params=None, bpe_path=None):
+def make_embedder(strategy: str, clip_params=None, bpe_path=None,
+                  clip_checkpoint=None):
+    """clip_checkpoint: path to an OpenAI CLIP release .pt (the asset
+    CLIPWrapper loads as ViT-B/32); converted via utils/torch_import. Falls
+    back to ``CLIP_CKPT_PATH`` env var, then random init (no parity)."""
     if strategy == "control_obj_zeros_512":
         return ZerosEmbedder()
     if strategy == "clip":
+        import os
+
+        clip_checkpoint = clip_checkpoint or os.environ.get("CLIP_CKPT_PATH")
+        if clip_params is None and clip_checkpoint and os.path.exists(clip_checkpoint):
+            from objcavit_tpu.utils.torch_import import load_clip_text_weights
+
+            clip_params = load_clip_text_weights(clip_checkpoint)["params"]
         return ClipEmbedder(clip_params, bpe_path)
     raise ValueError(f"Error: Language model {strategy} not recognised")

@@ -29,6 +29,7 @@ class YoloClipObjectProvider:
         self.embedder = make_embedder(
             ocfg.language_embedding_strategy,
             bpe_path=args.get("clip_bpe_path"),
+            clip_checkpoint=args.get("clip_checkpoint"),
         )
         from objcavit_tpu.models.yolov7 import Yolov7SegDetector
 

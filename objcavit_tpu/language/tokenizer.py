@@ -169,4 +169,11 @@ def make_tokenizer(bpe_path: str | None = None):
     try:
         return ClipBPETokenizer(bpe_path)
     except FileNotFoundError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "CLIP BPE merges asset not found (CLIP_BPE_PATH unset) — using "
+            "the deterministic HashTokenizer stand-in; embeddings are NOT "
+            "CLIP-parity until the asset is provided"
+        )
         return HashTokenizer()

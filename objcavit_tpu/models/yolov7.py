@@ -241,7 +241,9 @@ class Yolov7SegBackboneNeck(nn.Module):
         o3 = RepConv(256, dtype=dt, name="rep3")(t3, train)
         o4 = RepConv(512, dtype=dt, name="rep4")(t4b, train)
         o5 = RepConv(1024, dtype=dt, name="rep5")(t5b, train)
-        return (o3, o4, o5), t3  # detection features + proto input (/8)
+        # proto input is the FIRST detect feature (u7 ISegment: proto(x[0]),
+        # i.e. the RepConv-256 output at P3/8), not the pre-RepConv tap.
+        return (o3, o4, o5), o3
 
 
 class Yolov7Seg(nn.Module):

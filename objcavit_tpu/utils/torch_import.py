@@ -251,9 +251,216 @@ def load_torch_checkpoint(path: str, args: Any = None) -> dict:
     )
 
 
+# ----------------------------------------------------------------------- CLIP
+#
+# OpenAI CLIP text tower (modules/CLIPWrapper.py:18-24 loads ViT-B/32 and
+# calls encode_text). State-dict keys: token_embedding.weight,
+# positional_embedding, text_projection, ln_final.{weight,bias},
+# transformer.resblocks.{i}.{attn.in_proj_weight,attn.in_proj_bias,
+# attn.out_proj.*,ln_1.*,ln_2.*,mlp.c_fc.*,mlp.c_proj.*}. Visual-tower keys
+# (visual.*) and logit_scale are ignored — the reference only uses encode_text.
+
+
+def convert_clip_text_state_dict(state_dict: Dict[str, np.ndarray]) -> dict:
+    """OpenAI CLIP state_dict -> models.clip_text.CLIPTextEncoder params."""
+    sd = {k: np.asarray(v, np.float32) for k, v in state_dict.items()
+          if not k.startswith("visual.")}
+    tb = TreeBuilder()
+    tb.param("token_embedding/embedding", sd["token_embedding.weight"])
+    tb.param("positional_embedding", sd["positional_embedding"])
+    tb.param("text_projection", sd["text_projection"])  # used as x @ P: no T
+    tb.param("ln_final/scale", sd["ln_final.weight"])
+    tb.param("ln_final/bias", sd["ln_final.bias"])
+    n_layers = 0
+    while f"transformer.resblocks.{n_layers}.ln_1.weight" in sd:
+        n_layers += 1
+    for i in range(n_layers):
+        t = f"transformer.resblocks.{i}"
+        f = f"block{i}"
+        tb.param(f"{f}/attn/in_proj/kernel", t_linear(sd[f"{t}.attn.in_proj_weight"]))
+        tb.param(f"{f}/attn/in_proj/bias", sd[f"{t}.attn.in_proj_bias"])
+        tb.linear(sd, f"{t}.attn.out_proj", f"{f}/attn/out_proj")
+        tb.linear(sd, f"{t}.mlp.c_fc", f"{f}/mlp_fc")
+        tb.linear(sd, f"{t}.mlp.c_proj", f"{f}/mlp_proj")
+        for ln in ("ln_1", "ln_2"):
+            tb.param(f"{f}/{ln}/scale", sd[f"{t}.{ln}.weight"])
+            tb.param(f"{f}/{ln}/bias", sd[f"{t}.{ln}.bias"])
+    return {"params": tb.params, "info": {"layers": n_layers}}
+
+
+def load_clip_text_weights(path: str) -> dict:
+    """Load an OpenAI CLIP release .pt (TorchScript archive or plain
+    state_dict) and convert the text tower to flax variables."""
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu")
+        sd = {k: v for k, v in model.state_dict().items()}
+    except RuntimeError:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    out = convert_clip_text_state_dict(sd)
+    return {"params": out["params"]}
+
+
+# --------------------------------------------------------------------- YOLOv7
+#
+# yolov7-seg (u7 branch) stores the model as one nn.Sequential; state-dict
+# keys are "model.{i}.<child>" where i is the yaml layer index
+# (seg/models/yolo.py parse_model). The reference consumes it through
+# DetectMultiBackend (modules/Yolov7Wrapper.py:37). Tables below map each
+# sequential index onto this framework's named flax modules (models/yolov7.py).
+#
+# Block key layouts (u7 seg/models/common.py):
+#   Conv:    {i}.conv.weight (no bias) + {i}.bn.{weight,bias,running_*}
+#   RepConv: {i}.rbr_dense.0/.1, {i}.rbr_1x1.0/.1 (+ rbr_identity when in==out)
+#   SPPCSPC: {i}.cv1..cv7 each a Conv
+#   ISegment ({i}=last): m.{k} 1x1 conv w/ bias, ia.{k}.implicit (add, pre),
+#            im.{k}.implicit (mul, post), proto.cv1..cv3 Convs; plain Segment
+#            has no ia/im. Implicits fuse exactly into the 1x1 conv.
+
+# backbone/neck plain Conv layers: yaml index -> flax path inside body/
+_YOLO_CONV_IDX = {
+    0: "s0", 1: "s1", 2: "s2", 3: "s3",
+    52: "up4_conv", 54: "lat4", 64: "up3_conv", 66: "lat3",
+}
+# ELAN / ELAN-W blocks: (cv1, cv2, cv3, cv4, cv5, cv6, cv7) yaml indices.
+# concat order [-1,-3,-5,-6] (backbone) / [-1..-6] (head) is matched by the
+# module's own concat ordering (models/yolov7.py ELAN/ELANW).
+_YOLO_ELAN_IDX = {
+    "elan1": (4, 5, 6, 7, 8, 9, 11),
+    "elan2": (17, 18, 19, 20, 21, 22, 24),
+    "elan3": (30, 31, 32, 33, 34, 35, 37),
+    "elan4": (43, 44, 45, 46, 47, 48, 50),
+    "elanw4": (56, 57, 58, 59, 60, 61, 63),
+    "elanw3": (68, 69, 70, 71, 72, 73, 75),
+    "elanw4b": (81, 82, 83, 84, 85, 86, 88),
+    "elanw5b": (94, 95, 96, 97, 98, 99, 101),
+}
+# MP downsample blocks: (cv1 [after maxpool], cv2, cv3 [stride 2]) indices
+_YOLO_MP_IDX = {
+    "mp1": (13, 14, 15), "mp2": (26, 27, 28), "mp3": (39, 40, 41),
+    "down4": (77, 78, 79), "down5": (90, 91, 92),
+}
+_YOLO_SPPCSPC_IDX = 51
+_YOLO_REP_IDX = {"rep3": 102, "rep4": 103, "rep5": 104}
+_YOLO_HEAD_IDX = 105
+
+
+def _yolo_conv(tb: TreeBuilder, sd: dict, tkey: str, fpath: str):
+    """u7 Conv (conv+bn+silu) -> flax Conv module at fpath."""
+    tb.conv(sd, f"{tkey}.conv", f"{fpath}/conv", bias=False)
+    tb.bn(sd, f"{tkey}.bn", fpath)
+
+
+def _yolo_repconv(tb: TreeBuilder, sd: dict, tkey: str, fpath: str):
+    tb.conv(sd, f"{tkey}.rbr_dense.0", f"{fpath}/rbr_dense_conv", bias=False)
+    tb.param(f"{fpath}/rbr_dense_bn/scale", sd[f"{tkey}.rbr_dense.1.weight"])
+    tb.param(f"{fpath}/rbr_dense_bn/bias", sd[f"{tkey}.rbr_dense.1.bias"])
+    tb.stat(f"{fpath}/rbr_dense_bn/mean", sd[f"{tkey}.rbr_dense.1.running_mean"])
+    tb.stat(f"{fpath}/rbr_dense_bn/var", sd[f"{tkey}.rbr_dense.1.running_var"])
+    tb.conv(sd, f"{tkey}.rbr_1x1.0", f"{fpath}/rbr_1x1_conv", bias=False)
+    tb.param(f"{fpath}/rbr_1x1_bn/scale", sd[f"{tkey}.rbr_1x1.1.weight"])
+    tb.param(f"{fpath}/rbr_1x1_bn/bias", sd[f"{tkey}.rbr_1x1.1.bias"])
+    tb.stat(f"{fpath}/rbr_1x1_bn/mean", sd[f"{tkey}.rbr_1x1.1.running_mean"])
+    tb.stat(f"{fpath}/rbr_1x1_bn/var", sd[f"{tkey}.rbr_1x1.1.running_var"])
+    if f"{tkey}.rbr_identity.weight" in sd:  # only when in_ch == out_ch
+        tb.param(f"{fpath}/rbr_identity_bn/scale", sd[f"{tkey}.rbr_identity.weight"])
+        tb.param(f"{fpath}/rbr_identity_bn/bias", sd[f"{tkey}.rbr_identity.bias"])
+        tb.stat(f"{fpath}/rbr_identity_bn/mean",
+                sd[f"{tkey}.rbr_identity.running_mean"])
+        tb.stat(f"{fpath}/rbr_identity_bn/var",
+                sd[f"{tkey}.rbr_identity.running_var"])
+
+
+def _fuse_implicit_detect(sd: dict, head: str, k: int):
+    """ISegment's ImplicitA (pre-add) / ImplicitM (post-mul) fused into the
+    1x1 detect conv — exact for a 1x1 conv:
+      y = im * (W (x + ia) + b) = (im*W) x + im*(b + W@ia)."""
+    w = sd[f"{head}.m.{k}.weight"]  # (O, I, 1, 1)
+    b = sd[f"{head}.m.{k}.bias"]  # (O,)
+    ia_key, im_key = f"{head}.ia.{k}.implicit", f"{head}.im.{k}.implicit"
+    if ia_key in sd:
+        ia = sd[ia_key].reshape(-1)  # (I,)
+        b = b + w.reshape(w.shape[0], -1) @ ia
+    if im_key in sd:
+        im = sd[im_key].reshape(-1)  # (O,)
+        w = w * im[:, None, None, None]
+        b = b * im
+    return w, b
+
+
+def convert_yolov7_state_dict(state_dict: Dict[str, np.ndarray]) -> dict:
+    """yolov7-seg (u7) sequential state_dict -> flax variables + info.
+
+    Returns {'params', 'batch_stats', 'info': {'anchors_px', 'nc', 'nm'}}.
+    anchors_px is None when the ckpt carries no anchor buffer (synthetic sd).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    tb = TreeBuilder()
+    body = "body"
+    for idx, name in _YOLO_CONV_IDX.items():
+        _yolo_conv(tb, sd, f"model.{idx}", f"{body}/{name}")
+    for name, idxs in _YOLO_ELAN_IDX.items():
+        for cv, idx in zip(("cv1", "cv2", "cv3", "cv4", "cv5", "cv6", "cv7"), idxs):
+            _yolo_conv(tb, sd, f"model.{idx}", f"{body}/{name}/{cv}")
+    for name, idxs in _YOLO_MP_IDX.items():
+        for cv, idx in zip(("cv1", "cv2", "cv3"), idxs):
+            _yolo_conv(tb, sd, f"model.{idx}", f"{body}/{name}/{cv}")
+    for cv in ("cv1", "cv2", "cv3", "cv4", "cv5", "cv6", "cv7"):
+        _yolo_conv(tb, sd, f"model.{_YOLO_SPPCSPC_IDX}.{cv}",
+                   f"{body}/sppcspc/{cv}")
+    for name, idx in _YOLO_REP_IDX.items():
+        _yolo_repconv(tb, sd, f"model.{idx}", f"{body}/{name}")
+
+    head = f"model.{_YOLO_HEAD_IDX}"
+    for cv in ("cv1", "cv2", "cv3"):
+        _yolo_conv(tb, sd, f"{head}.proto.{cv}", f"proto/{cv}")
+    na = 0
+    while f"{head}.m.{na}.weight" in sd:
+        na += 1
+    assert na == 3, f"expected 3 detect convs, found {na}"
+    for k in range(3):
+        w, b = _fuse_implicit_detect(sd, head, k)
+        tb.param(f"detect{k}/kernel", t_conv(w))
+        tb.param(f"detect{k}/bias", b)
+
+    no3 = sd[f"{head}.m.0.weight"].shape[0]
+    nm = sd[f"{head}.proto.cv3.conv.weight"].shape[0]
+    nc = no3 // 3 - 5 - nm
+    anchors_px = None
+    if f"{head}.anchors" in sd:  # buffer is anchors / stride (u7 Detect)
+        strides = np.asarray([8.0, 16.0, 32.0])
+        anchors_px = sd[f"{head}.anchors"] * strides[:, None, None]
+    return {
+        "params": tb.params,
+        "batch_stats": tb.batch_stats,
+        "info": {"anchors_px": anchors_px, "nc": int(nc), "nm": int(nm)},
+    }
+
+
 def load_yolov7_weights(checkpoint: str, model) -> dict:
-    raise NotImplementedError(
-        "YOLOv7 weight import requires the LVIS checkpoint file (not present "
-        "in this image); the architecture and converter primitives are ready "
-        "— wire the sequential-index mapping against the real file."
-    )
+    """Load the LVIS yolov7-seg .pt (Yolov7Wrapper.py:37) -> flax variables.
+
+    The .pt stores {'model': DetectionModel} (u7 train.py save format); fall
+    back to a raw state_dict payload. `model` (Yolov7Seg) pins the expected
+    class count.
+    """
+    import torch
+
+    ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
+    payload = ckpt.get("model", ckpt.get("ema", ckpt)) if isinstance(ckpt, dict) else ckpt
+    if hasattr(payload, "state_dict"):
+        sd = {k: v.float().numpy() for k, v in payload.state_dict().items()}
+    else:
+        sd = {k: np.asarray(v, np.float32) for k, v in payload.items()
+              if hasattr(v, "__array__") or hasattr(v, "numpy")}
+        sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
+    out = convert_yolov7_state_dict(sd)
+    info = out["info"]
+    if model is not None and info["nc"] != model.num_classes:
+        raise ValueError(
+            f"checkpoint has nc={info['nc']}, model expects {model.num_classes}"
+        )
+    return {"params": out["params"], "batch_stats": out["batch_stats"]}
