@@ -5,6 +5,7 @@ from objcavit_tpu.metrics.metrics import (
     metrics_init,
     metrics_preprocess,
     metrics_reduce,
+    metrics_sync,
     metrics_update,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "metrics_update",
     "metrics_compute",
     "metrics_reduce",
+    "metrics_sync",
     "metrics_preprocess",
 ]

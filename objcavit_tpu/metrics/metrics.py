@@ -122,7 +122,9 @@ def metrics_compute(state: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
 
 
 def metrics_reduce(state: Dict[str, jax.Array], axis_name: str) -> Dict[str, jax.Array]:
-    """Cross-replica reduction: sums are psum'd, running averages pmean'd."""
+    """Cross-replica reduction: sums are psum'd, running averages pmean'd —
+    torchmetrics dist_reduce_fx parity (AbsRel.py:17-18: batch_count 'sum',
+    running_avg 'mean'). Call once at compute time via ``metrics_sync``."""
     out = {}
     for key, val in state.items():
         if key.endswith("_ra/avg"):
@@ -130,6 +132,42 @@ def metrics_reduce(state: Dict[str, jax.Array], axis_name: str) -> Dict[str, jax
         else:
             out[key] = jax.lax.psum(val, axis_name)
     return out
+
+
+def metrics_sync(shard_states: Dict[str, jax.Array], mesh) -> Dict[str, jax.Array]:
+    """Merge per-shard metric states into one global state (the one-shot
+    dist-sync torchmetrics performs at compute()).
+
+    shard_states: each leaf is (n_shards,) — one entry per data-parallel
+    worker, stacked on axis 0 and sharded (or shardable) over the mesh's data
+    axis. Runs metrics_reduce inside shard_map so the reduction is an ICI
+    collective, not a host gather.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from objcavit_tpu.parallel.mesh import DATA_AXIS
+
+    spec_in = P(DATA_AXIS)
+    shard_states = jax.device_put(
+        shard_states, NamedSharding(mesh, spec_in)
+    )
+
+    @jax.jit
+    def run(states):
+        def body(local):
+            local = jax.tree.map(lambda x: x[0], local)  # (1,) -> scalar
+            reduced = metrics_reduce(local, DATA_AXIS)
+            return jax.tree.map(lambda x: x[None], reduced)
+
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=(spec_in,), out_specs=P(None),
+            check_rep=False,
+        )
+        return jax.tree.map(lambda x: x[0], f(states))
+
+    return run(shard_states)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,6 +20,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is compile-bound on this 1-core
+# host; cached executables cut repeat runs from ~45 min toward interactive
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.default_backend() == "cpu", (
     "tests must run on the virtual-CPU mesh, got " + jax.default_backend()
 )
