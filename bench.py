@@ -86,13 +86,17 @@ def main():
     from objcavit_tpu.serving import FusedDepthPipeline
 
     num_classes = 1203
-    det_model = Yolov7Seg(num_classes=num_classes)
     frames = jnp.asarray(
         rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8)
     )  # device-resident: the tunnel's ~38 MB/s host link is not the metric
-    det_params = jax.jit(det_model.init)(
+    det_init = Yolov7Seg(num_classes=num_classes)
+    det_vars = jax.jit(det_init.init)(
         jax.random.PRNGKey(1), jnp.zeros((1, h, w, 3), jnp.float32)
     )
+    # serving detector: bf16, BN folded, RepConv branches merged (exact)
+    det_params = fold_batchnorm(det_vars)
+    det_model = Yolov7Seg(num_classes=num_classes, dtype=jnp.bfloat16,
+                          fold_bn=True)
     table = rng.standard_normal((num_classes + 1, 512)).astype(np.float32)
     pipe = FusedDepthPipeline(
         fmodel, folded, det_model, det_params, table,

@@ -44,6 +44,11 @@ def main():
         "--bf16", action="store_true",
         help="bfloat16 compute (TPU-native speed; fp32 is the parity default).",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Auto-resume: continue the newest run with a 'last' checkpoint, "
+             "restoring the FULL train state (params, optimizer, step).",
+    )
     cl = parser.parse_args()
 
     args = load_args(
@@ -83,7 +88,7 @@ def main():
         logging.info("==== RUNNING INFERENCE ====")
         trainer.predict()
     else:
-        trainer.fit()
+        trainer.fit(resume=cl.resume or None)
 
 
 if __name__ == "__main__":

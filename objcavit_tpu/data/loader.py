@@ -94,11 +94,20 @@ class DeviceLoader:
             }
             yield batch, meta
 
+    def _apply_hook(self, batch: dict, meta: dict) -> None:
+        """Merge host_hook output; '_'-prefixed keys are host-only metadata
+        (e.g. detection annotations) and go to meta, not the device."""
+        if self.host_hook is None:
+            return
+        extra = self.host_hook(batch)
+        for k in [k for k in extra if k.startswith("_")]:
+            meta[k] = extra.pop(k)
+        batch.update(extra)
+
     def __iter__(self):
         if self.synchronous:
             for batch, meta in self._host_batches():
-                if self.host_hook is not None:
-                    batch.update(self.host_hook(batch))
+                self._apply_hook(batch, meta)
                 yield shard_batch(self.mesh, batch), meta
             self.epoch += 1
             return
@@ -109,8 +118,7 @@ class DeviceLoader:
         def worker():
             try:
                 for batch, meta in self._host_batches():
-                    if self.host_hook is not None:
-                        batch.update(self.host_hook(batch))
+                    self._apply_hook(batch, meta)
                     q.put((shard_batch(self.mesh, batch), meta))
                 q.put(stop)
             except BaseException as e:  # surface errors to the consumer

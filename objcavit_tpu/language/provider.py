@@ -22,7 +22,12 @@ from objcavit_tpu.language.strategy import ObjectLanguageStrategy
 
 
 class YoloClipObjectProvider:
-    def __init__(self, args: Any, n_max: int = 32):
+    # the mirror/TTA pass must re-run the detector on the flipped image
+    # (GraphBinsLM.py:173 re-runs the whole forward, detector included)
+    recompute_on_mirror = True
+
+    def __init__(self, args: Any, n_max: int = 32, keep_annotations: bool = False):
+        self.keep_annotations = keep_annotations
         ocfg = args[args.model.name].objcavit
         self.n_max = n_max
         self.strategy = ObjectLanguageStrategy(ocfg.obj_language_strategy)
@@ -61,4 +66,38 @@ class YoloClipObjectProvider:
             feats[i, :n] = self.embedder.embed(phrases)
             xywh[i, :n] = boxes
             valid[i, :n] = True
-        return {"features": feats, "xywh": xywh, "valid": valid}
+        out = {"features": feats, "xywh": xywh, "valid": valid}
+        if self.keep_annotations:
+            out["_annot"] = self._annotations(images_normed, det)
+        return out
+
+    def _annotations(self, images_normed: np.ndarray, det: dict) -> list[dict]:
+        """Host-side per-image detection info for figures ('_'-prefixed keys
+        stay on host — DeviceLoader routes them to batch meta). Masks are
+        assembled from the prototypes like Yolov7Wrapper.py:107."""
+        from objcavit_tpu.ops.masks import process_masks
+        from objcavit_tpu.ops.nms import xywh_to_xyxy
+
+        h, w = images_normed.shape[1:3]
+        annots = []
+        for i in range(images_normed.shape[0]):
+            masks = np.asarray(
+                process_masks(
+                    det["proto"][i],
+                    det["coeffs"][i],
+                    np.asarray(xywh_to_xyxy(det["xywh"][i])),
+                    det["valid"][i],
+                    (h, w),
+                )
+            )
+            annots.append(
+                {
+                    "xywh": det["xywh"][i],
+                    "classes": det["classes"][i],
+                    "scores": det["scores"][i],
+                    "valid": det["valid"][i],
+                    "names": det["names"][i],
+                    "masks": masks,
+                }
+            )
+        return annots

@@ -40,12 +40,13 @@ STRIDES = (8, 16, 32)
 
 
 class Conv(nn.Module):
-    """yolov7 Conv: conv -> BN -> SiLU."""
+    """yolov7 Conv: conv -> BN -> SiLU (fold_bn: BN pre-folded into conv)."""
 
     features: int
     kernel: int = 1
     stride: int = 1
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -53,13 +54,14 @@ class Conv(nn.Module):
         x = nn.Conv(
             self.features, (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
+            padding=((p, p), (p, p)), use_bias=self.fold_bn, dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.97, epsilon=1e-3,
-            dtype=self.dtype, name="bn",
-        )(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                dtype=self.dtype, name="bn",
+            )(x)
         return jax.nn.silu(x)
 
 
@@ -69,17 +71,18 @@ class ELAN(nn.Module):
     mid: int
     out: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        a = Conv(self.mid, 1, dtype=self.dtype, name="cv1")(x, train)
-        b = Conv(self.mid, 1, dtype=self.dtype, name="cv2")(x, train)
-        c = Conv(self.mid, 3, dtype=self.dtype, name="cv3")(b, train)
-        c = Conv(self.mid, 3, dtype=self.dtype, name="cv4")(c, train)
-        d = Conv(self.mid, 3, dtype=self.dtype, name="cv5")(c, train)
-        d = Conv(self.mid, 3, dtype=self.dtype, name="cv6")(d, train)
+        a = Conv(self.mid, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv1")(x, train)
+        b = Conv(self.mid, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv2")(x, train)
+        c = Conv(self.mid, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv3")(b, train)
+        c = Conv(self.mid, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv4")(c, train)
+        d = Conv(self.mid, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv5")(c, train)
+        d = Conv(self.mid, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv6")(d, train)
         cat = jnp.concatenate([d, c, b, a], axis=-1)
-        return Conv(self.out, 1, dtype=self.dtype, name="cv7")(cat, train)
+        return Conv(self.out, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv7")(cat, train)
 
 
 class ELANW(nn.Module):
@@ -88,17 +91,18 @@ class ELANW(nn.Module):
     mid: int
     out: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        a = Conv(self.mid, 1, dtype=self.dtype, name="cv1")(x, train)
-        b = Conv(self.mid, 1, dtype=self.dtype, name="cv2")(x, train)
-        c1 = Conv(self.mid // 2, 3, dtype=self.dtype, name="cv3")(b, train)
-        c2 = Conv(self.mid // 2, 3, dtype=self.dtype, name="cv4")(c1, train)
-        c3 = Conv(self.mid // 2, 3, dtype=self.dtype, name="cv5")(c2, train)
-        c4 = Conv(self.mid // 2, 3, dtype=self.dtype, name="cv6")(c3, train)
+        a = Conv(self.mid, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv1")(x, train)
+        b = Conv(self.mid, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv2")(x, train)
+        c1 = Conv(self.mid // 2, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv3")(b, train)
+        c2 = Conv(self.mid // 2, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv4")(c1, train)
+        c3 = Conv(self.mid // 2, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv5")(c2, train)
+        c4 = Conv(self.mid // 2, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv6")(c3, train)
         cat = jnp.concatenate([c4, c3, c2, c1, b, a], axis=-1)
-        return Conv(self.out, 1, dtype=self.dtype, name="cv7")(cat, train)
+        return Conv(self.out, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv7")(cat, train)
 
 
 class MPDown(nn.Module):
@@ -106,13 +110,14 @@ class MPDown(nn.Module):
 
     out_half: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         a = nn.max_pool(x, (2, 2), strides=(2, 2))
-        a = Conv(self.out_half, 1, dtype=self.dtype, name="cv1")(a, train)
-        b = Conv(self.out_half, 1, dtype=self.dtype, name="cv2")(x, train)
-        b = Conv(self.out_half, 3, 2, dtype=self.dtype, name="cv3")(b, train)
+        a = Conv(self.out_half, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv1")(a, train)
+        b = Conv(self.out_half, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv2")(x, train)
+        b = Conv(self.out_half, 3, 2, dtype=self.dtype, fold_bn=self.fold_bn, name="cv3")(b, train)
         return jnp.concatenate([b, a], axis=-1)
 
 
@@ -121,35 +126,48 @@ class SPPCSPC(nn.Module):
 
     out: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.out
-        x1 = Conv(c, 1, dtype=self.dtype, name="cv1")(x, train)
-        x1 = Conv(c, 3, dtype=self.dtype, name="cv3")(x1, train)
-        x1 = Conv(c, 1, dtype=self.dtype, name="cv4")(x1, train)
+        x1 = Conv(c, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv1")(x, train)
+        x1 = Conv(c, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv3")(x1, train)
+        x1 = Conv(c, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv4")(x1, train)
         pools = [x1] + [
             nn.max_pool(x1, (k, k), strides=(1, 1), padding=((k // 2,) * 2,) * 2)
             for k in (5, 9, 13)
         ]
-        y1 = Conv(c, 1, dtype=self.dtype, name="cv5")(
+        y1 = Conv(c, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv5")(
             jnp.concatenate(pools, axis=-1), train
         )
-        y1 = Conv(c, 3, dtype=self.dtype, name="cv6")(y1, train)
-        y2 = Conv(c, 1, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(c, 1, dtype=self.dtype, name="cv7")(
+        y1 = Conv(c, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv6")(y1, train)
+        y2 = Conv(c, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv2")(x, train)
+        return Conv(c, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv7")(
             jnp.concatenate([y1, y2], axis=-1), train
         )
 
 
 class RepConv(nn.Module):
-    """RepVGG-style conv: 3x3 + 1x1 (+identity) branches, SiLU."""
+    """RepVGG-style conv: 3x3 + 1x1 (+identity) branches, SiLU.
+
+    fold_bn collapses all branches into ONE biased 3x3 conv (the RepVGG
+    deploy-mode reparameterisation; exact at inference) — see
+    utils/fold_bn.fold_yolov7.
+    """
 
     features: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold_bn:
+            merged = nn.Conv(
+                self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                dtype=self.dtype, name="merged_conv",
+            )(x)
+            return jax.nn.silu(merged)
         dense = nn.Conv(
             self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             dtype=self.dtype, name="rbr_dense_conv",
@@ -182,65 +200,67 @@ class Proto(nn.Module):
     mid: int = 256
     nm: int = 32
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Conv(self.mid, 3, dtype=self.dtype, name="cv1")(x, train)
+        x = Conv(self.mid, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv1")(x, train)
         n, h, w, c = x.shape
         x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
-        x = Conv(self.mid, 3, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(self.nm, 1, dtype=self.dtype, name="cv3")(x, train)
+        x = Conv(self.mid, 3, dtype=self.dtype, fold_bn=self.fold_bn, name="cv2")(x, train)
+        return Conv(self.nm, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="cv3")(x, train)
 
 
 class Yolov7SegBackboneNeck(nn.Module):
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         # stem + P1/P2
-        x = Conv(32, 3, dtype=dt, name="s0")(x, train)
-        x = Conv(64, 3, 2, dtype=dt, name="s1")(x, train)   # /2
-        x = Conv(64, 3, dtype=dt, name="s2")(x, train)
-        x = Conv(128, 3, 2, dtype=dt, name="s3")(x, train)  # /4
-        p2 = ELAN(64, 256, dtype=dt, name="elan1")(x, train)
+        x = Conv(32, 3, dtype=dt, fold_bn=self.fold_bn, name="s0")(x, train)
+        x = Conv(64, 3, 2, dtype=dt, fold_bn=self.fold_bn, name="s1")(x, train)   # /2
+        x = Conv(64, 3, dtype=dt, fold_bn=self.fold_bn, name="s2")(x, train)
+        x = Conv(128, 3, 2, dtype=dt, fold_bn=self.fold_bn, name="s3")(x, train)  # /4
+        p2 = ELAN(64, 256, dtype=dt, fold_bn=self.fold_bn, name="elan1")(x, train)
         # P3
-        x = MPDown(128, dtype=dt, name="mp1")(p2, train)    # /8
-        p3 = ELAN(128, 512, dtype=dt, name="elan2")(x, train)
+        x = MPDown(128, dtype=dt, fold_bn=self.fold_bn, name="mp1")(p2, train)    # /8
+        p3 = ELAN(128, 512, dtype=dt, fold_bn=self.fold_bn, name="elan2")(x, train)
         # P4
-        x = MPDown(256, dtype=dt, name="mp2")(p3, train)    # /16
-        p4 = ELAN(256, 1024, dtype=dt, name="elan3")(x, train)
+        x = MPDown(256, dtype=dt, fold_bn=self.fold_bn, name="mp2")(p3, train)    # /16
+        p4 = ELAN(256, 1024, dtype=dt, fold_bn=self.fold_bn, name="elan3")(x, train)
         # P5
-        x = MPDown(512, dtype=dt, name="mp3")(p4, train)    # /32
-        p5 = ELAN(256, 1024, dtype=dt, name="elan4")(x, train)
+        x = MPDown(512, dtype=dt, fold_bn=self.fold_bn, name="mp3")(p4, train)    # /32
+        p5 = ELAN(256, 1024, dtype=dt, fold_bn=self.fold_bn, name="elan4")(x, train)
 
         # neck (PAN)
-        t5 = SPPCSPC(512, dtype=dt, name="sppcspc")(p5, train)
-        u4 = Conv(256, 1, dtype=dt, name="up4_conv")(t5, train)
+        t5 = SPPCSPC(512, dtype=dt, fold_bn=self.fold_bn, name="sppcspc")(p5, train)
+        u4 = Conv(256, 1, dtype=dt, fold_bn=self.fold_bn, name="up4_conv")(t5, train)
         n, h, w, c = u4.shape
         u4 = jax.image.resize(u4, (n, h * 2, w * 2, c), method="nearest")
-        l4 = Conv(256, 1, dtype=dt, name="lat4")(p4, train)
-        t4 = ELANW(256, 256, dtype=dt, name="elanw4")(
+        l4 = Conv(256, 1, dtype=dt, fold_bn=self.fold_bn, name="lat4")(p4, train)
+        t4 = ELANW(256, 256, dtype=dt, fold_bn=self.fold_bn, name="elanw4")(
             jnp.concatenate([l4, u4], axis=-1), train
         )
-        u3 = Conv(128, 1, dtype=dt, name="up3_conv")(t4, train)
+        u3 = Conv(128, 1, dtype=dt, fold_bn=self.fold_bn, name="up3_conv")(t4, train)
         n, h, w, c = u3.shape
         u3 = jax.image.resize(u3, (n, h * 2, w * 2, c), method="nearest")
-        l3 = Conv(128, 1, dtype=dt, name="lat3")(p3, train)
-        t3 = ELANW(128, 128, dtype=dt, name="elanw3")(
+        l3 = Conv(128, 1, dtype=dt, fold_bn=self.fold_bn, name="lat3")(p3, train)
+        t3 = ELANW(128, 128, dtype=dt, fold_bn=self.fold_bn, name="elanw3")(
             jnp.concatenate([l3, u3], axis=-1), train
         )
-        d4 = MPDown(128, dtype=dt, name="down4")(t3, train)
-        t4b = ELANW(256, 256, dtype=dt, name="elanw4b")(
+        d4 = MPDown(128, dtype=dt, fold_bn=self.fold_bn, name="down4")(t3, train)
+        t4b = ELANW(256, 256, dtype=dt, fold_bn=self.fold_bn, name="elanw4b")(
             jnp.concatenate([d4, t4], axis=-1), train
         )
-        d5 = MPDown(256, dtype=dt, name="down5")(t4b, train)
-        t5b = ELANW(512, 512, dtype=dt, name="elanw5b")(
+        d5 = MPDown(256, dtype=dt, fold_bn=self.fold_bn, name="down5")(t4b, train)
+        t5b = ELANW(512, 512, dtype=dt, fold_bn=self.fold_bn, name="elanw5b")(
             jnp.concatenate([d5, t5], axis=-1), train
         )
-        o3 = RepConv(256, dtype=dt, name="rep3")(t3, train)
-        o4 = RepConv(512, dtype=dt, name="rep4")(t4b, train)
-        o5 = RepConv(1024, dtype=dt, name="rep5")(t5b, train)
+        o3 = RepConv(256, dtype=dt, fold_bn=self.fold_bn, name="rep3")(t3, train)
+        o4 = RepConv(512, dtype=dt, fold_bn=self.fold_bn, name="rep4")(t4b, train)
+        o5 = RepConv(1024, dtype=dt, fold_bn=self.fold_bn, name="rep5")(t5b, train)
         # proto input is the FIRST detect feature (u7 ISegment: proto(x[0]),
         # i.e. the RepConv-256 output at P3/8), not the pre-RepConv tap.
         return (o3, o4, o5), o3
@@ -252,13 +272,14 @@ class Yolov7Seg(nn.Module):
     num_classes: int = 1203
     nm: int = 32
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, image, train: bool = False):
         (o3, o4, o5), proto_in = Yolov7SegBackboneNeck(
-            dtype=self.dtype, name="body"
+            dtype=self.dtype, fold_bn=self.fold_bn, name="body"
         )(image, train)
-        proto = Proto(256, self.nm, dtype=self.dtype, name="proto")(proto_in, train)
+        proto = Proto(256, self.nm, dtype=self.dtype, fold_bn=self.fold_bn, name="proto")(proto_in, train)
         no = 5 + self.num_classes + self.nm
         preds = []
         for i, o in enumerate((o3, o4, o5)):

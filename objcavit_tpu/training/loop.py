@@ -108,8 +108,18 @@ class Trainer:
         if not self.is_graphbins:
             return {}
         objects = self.provider(batch_np["image"])
-        mirrored = mirror_objects(objects, batch_np["image"].shape[2])
-        return {"objects": objects, "objects_mirror": mirrored}
+        annot = objects.pop("_annot", None)
+        if getattr(self.provider, "recompute_on_mirror", False):
+            # reference TTA re-runs the whole forward, detector included, on
+            # the flipped image (GraphBinsLM.py:173) — so re-detect + re-phrase
+            mirrored = self.provider(batch_np["image"][:, :, ::-1].copy())
+            mirrored.pop("_annot", None)
+        else:
+            mirrored = mirror_objects(objects, batch_np["image"].shape[2])
+        out = {"objects": objects, "objects_mirror": mirrored}
+        if annot is not None:
+            out["_annot"] = annot
+        return out
 
     def _init_state(self, loader, tx) -> TrainState:
         batch, _ = next(iter(loader))
@@ -130,13 +140,39 @@ class Trainer:
         return TrainState.create(params, batch_stats, tx)
 
     # ------------------------------------------------------------------ fit
-    def fit(self):
+    def _find_resume_dir(self, run_base: str) -> str | None:
+        """Newest version_N dir that has a 'last' checkpoint (auto-resume)."""
+        if not os.path.isdir(run_base):
+            return None
+        versions = sorted(
+            (
+                int(d.split("_")[1])
+                for d in os.listdir(run_base)
+                if d.startswith("version_") and d.split("_")[1].isdigit()
+            ),
+            reverse=True,
+        )
+        for n in versions:
+            cand = os.path.join(run_base, f"version_{n}")
+            if os.path.isdir(os.path.join(cand, "checkpoints", "last")):
+                return cand
+        return None
+
+    def fit(self, resume: bool | None = None):
+        """resume=True (or args.basic.auto_resume) continues the newest run
+        with a 'last' checkpoint: FULL TrainState restore — params,
+        batch_stats, opt_state, step — so the OneCycle schedule and AdamW
+        moments pick up exactly where the killed run stopped. (The reference
+        only supports manual warm starts that reload params, main.py:26-28.)"""
         args = self.args
+        if resume is None:
+            resume = bool(args.basic.get("auto_resume"))
         run_base = os.path.join(args.paths.run_dir, args.basic.name)
-        run_dir = _next_version_dir(run_base)
+        resume_dir = self._find_resume_dir(run_base) if resume else None
+        run_dir = resume_dir or _next_version_dir(run_base)
         ckpt = CheckpointManager(run_dir)
         ckpt.save_hparams(args)
-        logger.info("run dir: %s", run_dir)
+        logger.info("run dir: %s%s", run_dir, " (resuming)" if resume_dir else "")
 
         train_ds = make_dataset(args, "train")
         val_ds = make_dataset(args, "online_eval")
@@ -156,6 +192,10 @@ class Trainer:
         steps_per_epoch = 1 if self.debug else len(train_loader)
         total_steps = max_epochs * steps_per_epoch
 
+        # use_swa tri-state (GraphBinsLM.py:470): absent -> OneCycle;
+        # True -> OneCycle + SWA (main.py:41-43); False -> plain AdamW
+        use_swa_raw = args.optimizer.get("use_swa", None)
+        swa_start_epoch = int(0.8 * max_epochs)  # Lightning swa_epoch_start
         tx = build_optimizer(
             lr=args.optimizer.lr,
             weight_decay=args.optimizer.wd,
@@ -163,21 +203,41 @@ class Trainer:
             div_factor=args.optimizer.get("div_factor", 25),
             final_div_factor=args.optimizer.get("final_div_factor", 100),
             gradient_clip_val=args.optimizer.get("gradient_clip_val", 0) or 0,
-            use_swa=bool(args.optimizer.get("use_swa")),
+            use_swa=use_swa_raw if use_swa_raw is None else bool(use_swa_raw),
             slow_encoder=args[args.model.name].get("slow_encoder"),
+            swa_start_step=swa_start_epoch * steps_per_epoch,
+            swa_anneal_steps=10 * steps_per_epoch,  # annealing_epochs=10
         )
         state = self._init_state(train_loader, tx)
 
-        # warm start (main.py:26-28 load_from_checkpoint)
-        warm = args.basic.get("from_checkpoint")
-        if warm and os.path.exists(warm):
-            restored = restore_checkpoint(warm, args=args)
-            if isinstance(restored, dict) and "params" in restored:
-                state = state.replace(
-                    params=restored["params"],
-                    batch_stats=restored.get("batch_stats", state.batch_stats),
-                )
-                logger.info("warm-started from %s", warm)
+        start_epoch = 0
+        if resume_dir:
+            # full-state restore against the concrete TrainState template so
+            # optax named-tuple states come back with their real structure
+            last = os.path.join(resume_dir, "checkpoints", "last")
+            state = ckpt.restore(last, target=state)
+            # orbax restores onto one device; re-replicate over the mesh so
+            # the restored state composes with data-sharded batches
+            from objcavit_tpu.parallel.mesh import replicated_sharding
+
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+            start_epoch = min(int(state.step) // max(steps_per_epoch, 1),
+                              max_epochs)
+            logger.info(
+                "resumed full TrainState at step %d (epoch %d)",
+                int(state.step), start_epoch,
+            )
+        else:
+            # warm start (main.py:26-28 load_from_checkpoint): params only
+            warm = args.basic.get("from_checkpoint")
+            if warm and os.path.exists(warm):
+                restored = restore_checkpoint(warm, args=args)
+                if isinstance(restored, dict) and "params" in restored:
+                    state = state.replace(
+                        params=restored["params"],
+                        batch_stats=restored.get("batch_stats", state.batch_stats),
+                    )
+                    logger.info("warm-started from %s", warm)
 
         train_step = jax.jit(
             make_train_step(
@@ -196,8 +256,8 @@ class Trainer:
         swa_params, swa_count = None, 0
         last_metrics = {}
         writer = self._tb_writer(run_dir)
-        step = 0
-        for epoch in range(max_epochs):
+        step = int(state.step)
+        for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             losses = []
             for i, (batch, _meta) in enumerate(train_loader):
@@ -216,7 +276,7 @@ class Trainer:
 
             # SWA: average weights over the tail epochs (Lightning default:
             # last 20% of training, swa epoch start = 0.8 * max_epochs)
-            if swa_cfg and epoch >= int(0.8 * max_epochs):
+            if swa_cfg and epoch >= swa_start_epoch:
                 if swa_params is None:
                     swa_params = state.params
                     swa_count = 1
@@ -255,7 +315,7 @@ class Trainer:
                   keep_last_batch=False):
         metric_state = metrics_init()
         last = None
-        for i, (batch, _meta) in enumerate(loader):
+        for i, (batch, meta) in enumerate(loader):
             if limit is not None and i >= limit:
                 break
             metric_state, loss, depth_pred = eval_step(
@@ -263,7 +323,7 @@ class Trainer:
                 batch.get("objects_mirror"), metric_state
             )
             if keep_last_batch:
-                last = (batch, depth_pred)
+                last = (batch, depth_pred, meta)
         metrics = {k: float(v) for k, v in metrics_compute(metric_state).items()}
         if keep_last_batch:
             return metrics, last
@@ -314,6 +374,9 @@ class Trainer:
         )
         out_dir = args.get("predict_output_dir", "./predict_output")
         os.makedirs(out_dir, exist_ok=True)
+        if self.provider is not None:
+            # predict mode saves {idx}_dets.png (GraphBinsLM.py:359-362)
+            self.provider.keep_annotations = True
         rows = []
         for i, (batch, meta) in enumerate(loader):
             if self.debug and i >= 1:
@@ -333,8 +396,10 @@ class Trainer:
                 "loss": float(loss),
             }
             rows.append(row)
+            dets = self._annotated_images(batch, meta)
             self._save_prediction_figures(
-                out_dir, i, batch, depth_pred, objects=obj_dev
+                out_dir, i, batch, depth_pred,
+                detections_image=dets[0] if dets is not None else None,
             )
         with open(os.path.join(out_dir, "prediction_metrics.csv"), "w", newline="") as f:
             if rows:
@@ -345,7 +410,8 @@ class Trainer:
         logger.info("predictions saved to %s", out_dir)
         return rows
 
-    def _save_prediction_figures(self, out_dir, idx, batch, depth_pred, objects):
+    def _save_prediction_figures(self, out_dir, idx, batch, depth_pred,
+                                 detections_image=None):
         try:
             from objcavit_tpu.utils.figures import save_prediction_images
         except Exception:
@@ -354,6 +420,7 @@ class Trainer:
             out_dir, idx, np.asarray(batch["image"][0]),
             np.asarray(batch["depth"][0]), np.asarray(depth_pred[0]),
             self.dataset_cfg.min_depth,
+            detections_image=detections_image,
         )
 
     def _restore_for_eval(self, loader):
@@ -373,21 +440,46 @@ class Trainer:
         return {"params": state.params, "batch_stats": state.batch_stats}
 
     def _log_sample_figure(self, writer, tag, last_batch, step):
-        """RGB / GT / prediction grid to TensorBoard (FigureBuilder parity)."""
+        """RGB / GT / prediction (+ detections) grid to TensorBoard
+        (FigureBuilder.py:64-125; detections column when a live detector
+        provided annotations)."""
         if last_batch is None:
             return
         try:
             from objcavit_tpu.utils.figures import build_batch_figure
 
-            batch, depth_pred = last_batch
+            batch, depth_pred, meta = last_batch
+            dets = self._annotated_images(batch, meta)
             fig = build_batch_figure(
                 np.asarray(batch["image"]), np.asarray(batch["depth"]),
                 np.asarray(depth_pred),
                 num_samples=min(4, int(batch["image"].shape[0])),
+                detections=dets,
             )
             writer.add_figure(tag, fig, step)
         except Exception as e:  # figures must never kill training
             logger.warning("figure logging failed: %s", e)
+
+    def _annotated_images(self, batch, meta):
+        """(B, H, W, 3) annotated images from host-side detection metadata,
+        or None when no annotations were kept."""
+        annots = (meta or {}).get("_annot")
+        if not annots:
+            return None
+        from objcavit_tpu.data.preprocess import imagenet_unnormalize
+        from objcavit_tpu.utils.annotate import annotate_image
+
+        images = np.asarray(batch["image"])
+        out = []
+        for i, a in enumerate(annots):
+            img01 = np.clip(imagenet_unnormalize(images[i]), 0, 1)
+            out.append(
+                annotate_image(
+                    img01, a["xywh"], a["classes"], a["valid"],
+                    masks=a.get("masks"), names=a.get("names"),
+                )
+            )
+        return np.stack(out)
 
     def _tb_writer(self, run_dir):
         try:

@@ -62,7 +62,38 @@ def _is_subtree(v) -> bool:
     return hasattr(v, "keys")  # dict or FrozenDict
 
 
+def _merge_repconv(params, stats) -> dict:
+    """RepVGG deploy fusion: fold each branch's BN, pad the 1x1 kernel to
+    3x3 (centre), add the (optional) identity branch as a centred identity
+    kernel, sum everything into ONE biased 3x3 conv ('merged_conv')."""
+    dense = _fold_conv(params["rbr_dense_conv"], params["rbr_dense_bn"],
+                       stats["rbr_dense_bn"], 1e-3)
+    one = _fold_conv(params["rbr_1x1_conv"], params["rbr_1x1_bn"],
+                     stats["rbr_1x1_bn"], 1e-3)
+    k = jnp.asarray(dense["kernel"], jnp.float32)  # (3, 3, I, O)
+    k = k + jnp.pad(jnp.asarray(one["kernel"], jnp.float32),
+                    ((1, 1), (1, 1), (0, 0), (0, 0)))
+    b = jnp.asarray(dense["bias"], jnp.float32) + jnp.asarray(
+        one["bias"], jnp.float32
+    )
+    if "rbr_identity_bn" in params:  # only when in_ch == out_ch
+        gamma, beta, mean, var = _bn_leaves(
+            params["rbr_identity_bn"], stats["rbr_identity_bn"]
+        )
+        s = jnp.asarray(gamma, jnp.float32) / jnp.sqrt(
+            jnp.asarray(var, jnp.float32) + 1e-3
+        )
+        c = k.shape[2]
+        ident = jnp.zeros_like(k).at[1, 1, jnp.arange(c), jnp.arange(c)].set(s)
+        k = k + ident
+        b = b + jnp.asarray(beta, jnp.float32) - jnp.asarray(mean, jnp.float32) * s
+    dt = params["rbr_dense_conv"]["kernel"].dtype
+    return {"merged_conv": {"kernel": k.astype(dt), "bias": b.astype(dt)}}
+
+
 def _fold_tree(params, stats) -> dict:
+    if "rbr_dense_conv" in params:  # a RepConv subtree
+        return _merge_repconv(params, stats)
     out = {}
     consumed = set()
     for bn_name, (conv_name, eps) in _BN_TO_CONV.items():

@@ -1,5 +1,6 @@
 """Eval-protocol tests: batched flip-TTA == the reference's two-pass scheme."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -9,6 +10,9 @@ from objcavit_tpu.losses import LossWrapper
 from objcavit_tpu.metrics import MetricsPreprocessConfig, metrics_init
 from objcavit_tpu.models import GraphBins
 from objcavit_tpu.training.steps import make_eval_step
+
+
+pytestmark = pytest.mark.slow  # full-model jit compile
 
 RNG = np.random.default_rng(29)
 H, W, N = 64, 96, 3

@@ -75,3 +75,41 @@ def test_fold_bn_matches_unfolded_graphbins():
         "depth_pred"
     ]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_fold_yolov7_detector_matches_unfolded():
+    """Detector BN folding + RepConv deploy-mode merge (3x3+1x1[+id] -> one
+    biased 3x3) is numerically exact at inference."""
+    from objcavit_tpu.models.yolov7 import RepConv, Yolov7Seg
+
+    rng = np.random.default_rng(0)
+
+    # RepConv WITH identity branch (in_ch == out_ch) — the hardest case
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+    rep = RepConv(16)
+    variables = rep.init(jax.random.PRNGKey(0), x)
+    # randomise batch stats so folding is non-trivial
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 1.5, a.shape), a.dtype)
+        if a.ndim == 1 else a,
+        variables,
+    )
+    ref = rep.apply(variables, x)
+    folded = fold_batchnorm(variables)
+    out = RepConv(16, fold_bn=True).apply(folded, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+    # full tiny-input detector end-to-end
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    det = Yolov7Seg(num_classes=3, nm=4)
+    variables = jax.jit(det.init)(jax.random.PRNGKey(1), img)
+    preds_ref, proto_ref = jax.jit(lambda v, i: det.apply(v, i))(variables, img)
+    folded = fold_batchnorm(variables)
+    fdet = Yolov7Seg(num_classes=3, nm=4, fold_bn=True)
+    preds, proto = jax.jit(lambda v, i: fdet.apply(v, i))(folded, img)
+    np.testing.assert_allclose(np.asarray(proto), np.asarray(proto_ref),
+                               atol=2e-4, rtol=2e-4)
+    for p, pr in zip(preds, preds_ref):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(pr), atol=2e-4,
+                                   rtol=2e-4)

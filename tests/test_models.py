@@ -9,6 +9,9 @@ import jax.numpy as jnp
 from objcavit_tpu.models import AdaBins, GraphBins
 from objcavit_tpu.models.efficientnet import ENCODER_SPECS, EfficientNetEncoder
 
+
+pytestmark = pytest.mark.slow  # full-model jit compile
+
 RNG = np.random.default_rng(3)
 
 # H, W divisible by 32 (stride pyramid) and by 2*16 (ObjCAViT patches)

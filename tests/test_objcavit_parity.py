@@ -8,6 +8,7 @@ while the mask is extended at the END with True. Our fixed-shape version must
 match it for ragged per-image object counts expressed as padded arrays.
 """
 
+import pytest
 import numpy as np
 import torch
 import torch.nn as nn
@@ -17,6 +18,9 @@ import jax.numpy as jnp
 
 from objcavit_tpu.models.objcavit import SelfAttnCrossAttn
 from tests.test_layers import _layer_params_from_torch, _mha_params_from_torch
+
+
+pytestmark = pytest.mark.slow  # full-model jit compile
 
 RNG = np.random.default_rng(23)
 E = 128

@@ -1,5 +1,6 @@
 """Serving pipeline: fused uint8 -> depth program (tiny model, CPU mesh)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -7,6 +8,9 @@ import jax.numpy as jnp
 
 from objcavit_tpu.models import GraphBins
 from objcavit_tpu.serving import DepthPipeline
+
+
+pytestmark = pytest.mark.slow  # full-model jit compile
 
 RNG = np.random.default_rng(19)
 

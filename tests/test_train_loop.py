@@ -12,6 +12,9 @@ from objcavit_tpu.config import Config
 from objcavit_tpu.training.loop import Trainer
 
 # tiny-but-real config: b1 encoder, dims divisible by 32 and by 2*16
+
+pytestmark = pytest.mark.slow  # full-model jit compile
+
 TINY = {
     "basic": {
         "dataset": "nyu", "batch_size": 8, "max_epochs": 1,

@@ -1,5 +1,6 @@
 """YOLOv7-seg architecture + fixed-shape NMS tests (tiny inputs, CPU)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -10,6 +11,9 @@ from objcavit_tpu.models.yolov7 import (
     decode_predictions,
 )
 from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy, xyxy_to_xywh
+
+
+pytestmark = pytest.mark.slow  # full-model jit compile
 
 RNG = np.random.default_rng(7)
 

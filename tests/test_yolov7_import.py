@@ -29,6 +29,9 @@ NC, NM, NA, NPR = 2, 4, 3, 256
 
 # yolov7-seg.yaml (u7 branch), transcribed: (from, type, (c2, k, s)).
 # Layer index == list position; 'from' is relative (negative) or absolute.
+
+pytestmark = pytest.mark.slow  # full-model jit compile
+
 SPEC = [
     (-1, "Conv", (32, 3, 1)),            # 0
     (-1, "Conv", (64, 3, 2)),            # 1  P1/2
