@@ -12,10 +12,10 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from objcavit_tpu.models.common import TorchConv
+from objcavit_tpu.models.common import ConvParams
 from objcavit_tpu.models.decoder import DenseFeatureExtractor
 from objcavit_tpu.models.minivit import MiniViT
-from objcavit_tpu.ops.bins import bins_logits_to_depth
+from objcavit_tpu.ops.bins import bins_head_depth
 
 
 class AdaBins(nn.Module):
@@ -46,10 +46,11 @@ class AdaBins(nn.Module):
             name="adaptive_bins_layer",
         )(unet_out, deterministic=not train)
 
-        logits = TorchConv(self.n_bins, (1, 1), dtype=self.dtype, name="conv_out")(
-            range_maps
+        kernel, bias = ConvParams(self.n_bins, (1, 1), name="conv_out")(
+            range_maps.shape[-1]
         )
-        depth, edges = bins_logits_to_depth(
-            bin_widths_normed, logits, self.min_depth, self.max_depth
+        depth, edges = bins_head_depth(
+            bin_widths_normed, range_maps, kernel, bias,
+            self.min_depth, self.max_depth, train,
         )
         return {"depth_pred": depth, "bin_edges": edges}

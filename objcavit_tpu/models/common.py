@@ -100,6 +100,27 @@ class TorchConv(nn.Module):
         return y
 
 
+class ConvParams(nn.Module):
+    """Declares a TorchConv-layout (kernel, bias) pair WITHOUT running the
+    conv — for heads whose conv fuses into a downstream kernel (the bins
+    tail, ops/bins.bins_head_depth). Same param names, shapes, and init as
+    TorchConv so checkpoints and converters are layout-identical."""
+
+    features: int
+    kernel_size: Sequence[int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", torch_kernel_init, (kh, kw, in_features, self.features)
+        )
+        bias = self.param(
+            "bias", torch_bias_init_for(kh * kw * in_features), (self.features,)
+        )
+        return kernel, bias
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d matching torch semantics (eps/momentum configurable)."""
 

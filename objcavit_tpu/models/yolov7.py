@@ -319,6 +319,43 @@ def decode_predictions(
     )
 
 
+def decode_best(
+    preds: Sequence[jax.Array], num_classes: int, nm: int = 32
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Like decode_predictions but reduces to the best class IN the decode:
+    returns (boxes (B,A,4), best_score (B,A), best_class (B,A), coeffs).
+
+    sigmoid is monotonic, so argmax over class logits == argmax over class
+    probabilities, and max prob = sigmoid(max logit) — the (B, A, nc)
+    sigmoid/product tensors (~1 GB per flagship batch at nc=1203) are never
+    materialised. Bit-identical to max/argmax over decode_predictions' conf.
+    """
+    boxes, best, best_cls, coef = [], [], [], []
+    for p, stride, anchors in zip(preds, STRIDES, ANCHORS):
+        n, h, w, na, no = p.shape
+        sig5 = jax.nn.sigmoid(p[..., :5])
+        gx = jnp.arange(w, dtype=jnp.float32)
+        gy = jnp.arange(h, dtype=jnp.float32)
+        grid = jnp.stack(jnp.meshgrid(gx, gy), axis=-1)
+        anc = jnp.asarray(anchors, jnp.float32)
+        xy = (sig5[..., 0:2] * 2.0 - 0.5 + grid[None, :, :, None]) * stride
+        wh = (sig5[..., 2:4] * 2.0) ** 2 * anc[None, None, None]
+        cls_logits = p[..., 5 : 5 + num_classes]
+        m = jnp.max(cls_logits, axis=-1)
+        a = jnp.argmax(cls_logits, axis=-1)
+        score = sig5[..., 4] * jax.nn.sigmoid(m.astype(jnp.float32))
+        boxes.append(jnp.concatenate([xy, wh], -1).reshape(n, -1, 4))
+        best.append(score.reshape(n, -1))
+        best_cls.append(a.reshape(n, -1))
+        coef.append(p[..., 5 + num_classes :].reshape(n, -1, nm))
+    return (
+        jnp.concatenate(boxes, 1),
+        jnp.concatenate(best, 1),
+        jnp.concatenate(best_cls, 1),
+        jnp.concatenate(coef, 1),
+    )
+
+
 class Yolov7SegDetector:
     """Frozen detector wrapper producing padded fixed-shape detections.
 
@@ -377,12 +414,9 @@ class Yolov7SegDetector:
                     IMAGENET_MEAN
                 )
                 preds, proto = self.model.apply(variables, image01, train=False)
-                boxes, obj, cls, coef = decode_predictions(
+                boxes, best, best_cls, coef = decode_best(
                     preds, self.num_classes
                 )
-                conf = obj[..., None] * cls  # (B, A, nc)
-                best = jnp.max(conf, -1)
-                best_cls = jnp.argmax(conf, -1)
                 out = batched_nms(
                     xywh_to_xyxy(boxes), best, best_cls,
                     self.conf_thres, self.iou_thres,

@@ -48,6 +48,51 @@ def bin_edges_centers(
     return edges, centers
 
 
+def bins_head_depth(
+    bin_widths_normed: jax.Array,
+    range_maps: jax.Array,  # (B, H, W, C)
+    kernel: jax.Array,  # (1, 1, C, K) conv_out kernel (checkpoint layout)
+    bias: jax.Array,  # (K,)
+    min_depth: float,
+    max_depth: float,
+    train: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """conv_out 1x1 -> softmax over bins -> expectation, fully fused.
+
+    Inference on TPU runs the conv INSIDE the Pallas kernel so the (B,H,W,K)
+    logits never reach HBM (ops/pallas_bins.fused_conv_bins_depth). Training
+    (and non-TPU backends) uses the conv + logits path, which carries the
+    custom-VJP bins kernel / XLA softmax.
+    """
+    edges, centers = bin_edges_centers(
+        bin_widths_normed.astype(jnp.float32), min_depth, max_depth
+    )
+    if not train and jax.default_backend() == "tpu":
+        from objcavit_tpu.ops.pallas_bins import fused_conv_bins_depth
+
+        c, k = kernel.shape[-2], kernel.shape[-1]
+        depth = fused_conv_bins_depth(
+            range_maps, kernel.reshape(c, k).astype(range_maps.dtype),
+            bias, centers,
+        )
+        return depth, edges
+    logits = (
+        jax.lax.conv_general_dilated(
+            range_maps, kernel.astype(range_maps.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + bias.astype(range_maps.dtype)
+    )
+    if jax.default_backend() == "tpu":
+        from objcavit_tpu.ops.pallas_bins import fused_bins_depth
+
+        depth = fused_bins_depth(logits, centers)
+    else:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        depth = jnp.einsum("nhwk,nk->nhw", probs, centers)[..., None]
+    return depth, edges
+
+
 def bins_logits_to_depth(
     bin_widths_normed: jax.Array,
     logits: jax.Array,

@@ -133,3 +133,66 @@ def fused_bins_depth(
     b, h, w, k = logits.shape
     depth = _bins_expectation(logits.reshape(b, h * w, k), centers)
     return depth.reshape(b, h, w, 1)
+
+
+# ---------------------------------------------------------------- conv fusion
+#
+# Inference-only fusion one level higher: the 1x1 conv_out projection
+# (AdaBins.py:51-54 / GraphBins.py:59-62) producing the K=256 logits is a
+# (S, C) @ (C, K) matmul whose output is the largest tensor of the whole
+# forward (8x240x320x256). Fusing it INTO the bins kernel means the logits
+# never touch HBM at all: read the 128-ch range maps once, matmul in VMEM on
+# the MXU, softmax + expectation in registers, write only the (S,) depth.
+# Saves a ~630 MB HBM round trip per flagship batch. Forward-only by design —
+# the training path keeps conv + _bins_expectation (which has a custom VJP).
+
+
+def _fwd_conv_kernel(x_ref, w_ref, b_ref, centers_ref, depth_ref):
+    x = x_ref[0]  # (T, C) model dtype
+    w = w_ref[...]  # (C, K)
+    b = b_ref[...].astype(jnp.float32)  # (1, K)
+    c = centers_ref[0].astype(jnp.float32)  # (1, K)
+    l = jnp.dot(x, w, preferred_element_type=jnp.float32) + b  # (T, K) fp32
+    m = jnp.max(l, axis=-1, keepdims=True)
+    e = jnp.exp(l - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    num = jnp.sum(e * c, axis=-1, keepdims=True)
+    depth_ref[0] = (num / denom).T
+
+
+def fused_conv_bins_depth(
+    x: jax.Array,  # (B, H, W, C) range maps (model dtype)
+    kernel: jax.Array,  # (C, K) conv_out 1x1 kernel
+    bias: jax.Array,  # (K,)
+    centers: jax.Array,  # (B, K) fp32 bin centres
+) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W, 1) fp32 depth; logits stay in VMEM."""
+    b, h, w_, c = x.shape
+    k = kernel.shape[-1]
+    s = h * w_
+    t = _tiles(s)
+    nt = s // t
+    grid = (b, nt)
+    depth = pl.pallas_call(
+        _fwd_conv_kernel,
+        out_shape=jax.ShapeDtypeStruct((b * nt, 1, t), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, t), lambda i, j, nt=nt: (i * nt + j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(
+        x.reshape(b, s, c), kernel, bias.reshape(1, k),
+        centers[:, None, :].astype(jnp.float32),
+    )
+    return depth.reshape(b, h, w_, 1)

@@ -188,7 +188,7 @@ class FusedDepthPipeline:
         self._fns = {}
 
     def _build(self, in_shape):
-        from objcavit_tpu.models.yolov7 import decode_predictions
+        from objcavit_tpu.models.yolov7 import decode_best
         from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy, xyxy_to_xywh
 
         eh, ew = self.eval_dims
@@ -200,10 +200,9 @@ class FusedDepthPipeline:
             normed = (x01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
             preds, _proto = self.detector_model.apply(det_params, x01, train=False)
-            boxes, obj, cls, _coef = decode_predictions(preds, num_classes)
-            conf = obj[..., None] * cls
+            boxes, best, best_cls, _coef = decode_best(preds, num_classes)
             det = batched_nms(
-                xywh_to_xyxy(boxes), jnp.max(conf, -1), jnp.argmax(conf, -1),
+                xywh_to_xyxy(boxes), best, best_cls,
                 self.conf_thres, self.iou_thres,
                 pre_topk=256, max_det=self.n_obj_max,
             )

@@ -8,8 +8,11 @@ of claims (round-1 VERDICT weak #3).
 Usage: python scripts/ab_attention.py [batch]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -5,8 +5,11 @@ img/s/chip — any batch size is fair for the serving metric).
 Usage: python scripts/bench_sweep.py [batches...]   (default: 8 16 24 32)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -48,3 +48,24 @@ def test_fused_bins_depth_grads_match():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_fused_conv_bins_depth_matches_unfused():
+    """Inference fusion (1x1 conv inside the kernel) == conv + softmax path."""
+    from objcavit_tpu.ops.pallas_bins import fused_conv_bins_depth
+
+    rng = np.random.default_rng(1)
+    b, h, w, c, k = 2, 8, 16, 32, 64
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    kern = jnp.asarray(0.1 * rng.standard_normal((c, k)).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.standard_normal(k).astype(np.float32))
+    centers = jnp.asarray(rng.uniform(0.1, 10, (b, k)).astype(np.float32))
+
+    logits = jnp.einsum("bhwc,ck->bhwk", x, kern) + bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    want = jnp.einsum("bhwk,bk->bhw", probs, centers)[..., None]
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_conv_bins_depth(x, kern, bias, centers)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)

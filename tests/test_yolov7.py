@@ -110,3 +110,30 @@ def test_process_masks_crops_and_upsamples():
     assert masks[0, :, :40].max() > 0.5  # something survives inside
     # invalid slot produces an all-zero mask
     assert masks[1].max() == 0.0
+
+
+def test_decode_best_matches_full_decode():
+    """decode_best (reduce-in-decode, no (B,A,nc) materialisation) must equal
+    max/argmax over decode_predictions' obj*cls confidences."""
+    import jax.numpy as jnp
+
+    from objcavit_tpu.models.yolov7 import decode_best, decode_predictions
+
+    rng = np.random.default_rng(5)
+    nc, nm = 11, 4
+    no = 5 + nc + nm
+    preds = [
+        jnp.asarray(rng.standard_normal((2, h, w, 3, no)).astype(np.float32))
+        for h, w in ((8, 12), (4, 6), (2, 3))
+    ]
+    boxes, obj, cls, coef = decode_predictions(preds, nc, nm)
+    conf = obj[..., None] * cls
+    b2, best, best_cls, coef2 = decode_best(preds, nc, nm)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(boxes), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(best), np.asarray(jnp.max(conf, -1)), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_array_equal(
+        np.asarray(best_cls), np.asarray(jnp.argmax(conf, -1))
+    )
+    np.testing.assert_array_equal(np.asarray(coef2), np.asarray(coef))
