@@ -44,6 +44,9 @@ def _best_of(fn, sync, trials=3, n_iter=30):
 
 
 def main():
+    from objcavit_tpu.utils.jit_cache import enable as _enable_cache
+
+    _enable_cache()
     import jax
     import jax.numpy as jnp
 

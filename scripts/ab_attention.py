@@ -17,6 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _cache():
+    from objcavit_tpu.utils.jit_cache import enable
+    enable()
+
+
 def measure(attn_impl: str, batch: int = 8):
     import jax
     import jax.numpy as jnp
@@ -56,6 +61,7 @@ def measure(attn_impl: str, batch: int = 8):
 
 
 def main():
+    _cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     r_xla, p_xla = measure("xla", batch)
     r_pal, p_pal = measure("pallas", batch)

@@ -14,6 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _cache():
+    from objcavit_tpu.utils.jit_cache import enable
+    enable()
+
+
 def measure(batch: int):
     import jax
     import jax.numpy as jnp
@@ -53,6 +58,7 @@ def measure(batch: int):
 
 
 def main():
+    _cache()
     batches = [int(x) for x in sys.argv[1:]] or [8, 16, 24, 32]
     for b in batches:
         try:
