@@ -100,6 +100,41 @@ class TorchConv(nn.Module):
         return y
 
 
+class PatchEmbedConv(nn.Module):
+    """Non-overlapping (kernel == stride) patch-embed conv computed as
+    crop + space-to-depth reshape + ONE matmul.
+
+    Identical parameters (TorchConv layout: HWIO kernel + bias, same init)
+    and identical forward math to TorchConv(features, (p, p), (p, p),
+    'VALID') — the matmul form exists because XLA lowers the conv's
+    data-gradient to an input-dilated convolution doing p^2 (=256 for the
+    ViT heads) times the useful FLOPs: measured ~150 ms of a 242 ms flagship
+    train step. The matmul's gradients are two clean MXU matmuls.
+    """
+
+    features: int
+    patch_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size
+        b, h, w, c = x.shape
+        gh, gw = h // p, w // p
+        kernel = self.param(
+            "kernel", torch_kernel_init, (p, p, c, self.features)
+        )
+        bias = self.param(
+            "bias", torch_bias_init_for(p * p * c), (self.features,)
+        )
+        x = x[:, : gh * p, : gw * p]  # VALID conv drops the remainder
+        x = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, p * p * c).astype(self.dtype)
+        k = kernel.astype(self.dtype).reshape(p * p * c, self.features)
+        y = jnp.dot(x, k) + bias.astype(self.dtype)
+        return y.reshape(b, gh, gw, self.features)
+
+
 class ConvParams(nn.Module):
     """Declares a TorchConv-layout (kernel, bias) pair WITHOUT running the
     conv — for heads whose conv fuses into a downstream kernel (the bins

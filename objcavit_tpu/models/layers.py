@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from objcavit_tpu.models.common import TorchConv, TorchLinear, torch_kernel_init
+from objcavit_tpu.models.common import PatchEmbedConv, TorchConv, TorchLinear, torch_kernel_init
 from objcavit_tpu.ops.attention import mha_core
 
 
@@ -138,9 +138,8 @@ class PatchTransformerEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         p = self.patch_size
-        emb = TorchConv(
-            self.embed_dim, (p, p), (p, p), padding="VALID", dtype=self.dtype,
-            name="embedding_conv",
+        emb = PatchEmbedConv(
+            self.embed_dim, p, dtype=self.dtype, name="embedding_conv"
         )(x)  # (B, H/p, W/p, E)
         b, gh, gw, e = emb.shape
         s = gh * gw

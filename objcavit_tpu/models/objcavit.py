@@ -32,7 +32,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from objcavit_tpu.models.common import TorchConv, TorchLinear
+from objcavit_tpu.models.common import PatchEmbedConv, TorchConv, TorchLinear
 from objcavit_tpu.models.layers import (
     BinRegressor,
     MultiHeadAttention,
@@ -262,9 +262,8 @@ class ObjCAViT(nn.Module):
         assert fh % p == 0 and fw % p == 0, "feature dims must divide patch size"
         gh, gw = fh // p, fw // p
         s = gh * gw
-        img_emb = TorchConv(
-            self.embed_dim, (p, p), (p, p), padding="VALID", dtype=self.dtype,
-            name="image_embedding_conv",
+        img_emb = PatchEmbedConv(
+            self.embed_dim, p, dtype=self.dtype, name="image_embedding_conv"
         )(image_features).reshape(b, s, self.embed_dim)
 
         # patch centre coords in feature-pixel space (ObjCAViT.py:335-349)

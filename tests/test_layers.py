@@ -105,3 +105,23 @@ def test_encoder_layer_dropout_zero_rate_deterministic():
     a = layer.apply(params, x, deterministic=True)
     b = layer.apply(params, x, deterministic=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_patch_embed_conv_equals_valid_conv():
+    """PatchEmbedConv (reshape+matmul) == TorchConv k=p s=p VALID, same
+    params — incl. a non-divisible input where VALID drops the remainder."""
+    import jax
+
+    from objcavit_tpu.models.common import PatchEmbedConv, TorchConv
+
+    rng = np.random.default_rng(0)
+    p, c, e = 4, 6, 8
+    for h, w in ((12, 16), (14, 19)):  # divisible and ragged
+        x = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+        pe = PatchEmbedConv(e, p)
+        params = pe.init(jax.random.PRNGKey(0), x)
+        want = TorchConv(e, (p, p), (p, p), padding="VALID").apply(params, x)
+        got = pe.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
