@@ -121,6 +121,53 @@ def main():
     dt_pipe = _best_of(run_pipe, sync_pipe, n_iter=20)
     serving_img_per_s = batch / dt_pipe
 
+    # --- training step (fit hot loop: aug+fwd+loss+bwd+clip+AdamW) ----------
+    from objcavit_tpu.losses import LossWrapper
+    from objcavit_tpu.training.optim import build_optimizer
+    from objcavit_tpu.training.state import TrainState
+    from objcavit_tpu.training.steps import make_train_step
+
+    tb, th, tw = 8, 416, 544
+    tbatch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (tb, th, tw, 3)).astype(np.float32)),
+        "depth": jnp.asarray(
+            rng.uniform(0.01, 9.0, (tb, th, tw, 1)).astype(np.float32)
+        ),
+    }
+    tobjs = {
+        "features": jnp.asarray(
+            (0.02 * rng.standard_normal((tb, n_obj, 512))).astype(np.float32)
+        ),
+        "xywh": jnp.asarray(rng.uniform(0, 400, (tb, n_obj, 4)).astype(np.float32)),
+        "valid": jnp.ones((tb, n_obj), bool),
+    }
+    tmodel = GraphBins(**kw)
+    tvars = jax.jit(tmodel.init)(
+        jax.random.PRNGKey(2), tbatch["image"], tobjs["features"],
+        tobjs["xywh"], tobjs["valid"],
+    )
+    tx = build_optimizer(3.57e-4, 0.1, total_steps=100, gradient_clip_val=0.1)
+    tstate = TrainState.create(tvars["params"], tvars.get("batch_stats", {}), tx)
+    tstep = jax.jit(
+        make_train_step(tmodel, tx, LossWrapper(["silog", "bins_chamfer"], [1, 0.1]),
+                        min_depth=0.001, augment_on_device=True,
+                        is_graphbins=True),
+        donate_argnums=(0,),
+    )
+    holder = {"s": tstate}
+
+    def run_train():
+        holder["s"], holder["l"] = tstep(
+            holder["s"], tbatch, tobjs, jax.random.PRNGKey(3)
+        )
+        return holder["l"]
+
+    def sync_train(_=None):
+        float(holder["l"])
+
+    dt_train = _best_of(run_train, sync_train, n_iter=10)
+    train_img_per_s = tb / dt_train
+
     print(
         json.dumps(
             {
@@ -130,6 +177,8 @@ def main():
                 "vs_baseline": round(img_per_s / 250.0, 3),
                 "serving_fused_img_per_s": round(serving_img_per_s, 1),
                 "serving_fused_vs_baseline": round(serving_img_per_s / 250.0, 3),
+                "train_ms_per_step_bs8_416x544": round(dt_train * 1000, 1),
+                "train_img_per_s": round(train_img_per_s, 1),
             }
         )
     )

@@ -18,6 +18,8 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -123,6 +125,63 @@ void hflip_f32(float* img, int64_t h, int64_t w, int64_t c) {
       for (int64_t ch = 0; ch < c; ++ch) std::swap(a[ch], b[ch]);
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Batch assembler: per-sample random-crop + the fused legacy augment tail +
+// depth crop/flip, written straight into contiguous (N, out_h, out_w, C)
+// batch buffers, parallelised over samples with std::thread. This is the
+// loader's batch-assembly hot loop (crop -> flip/gamma/colour/normalise ->
+// stack) as ONE native pass — the torch-DataLoader-worker replacement at
+// batch granularity. Math is identical to crop + augment_normalize_f32 +
+// hflip_f32 run per sample (the parity tests assert bit-equality).
+
+static void assemble_one(const float* img, const float* dep, int64_t h,
+                         int64_t w, int64_t out_h, int64_t out_w,
+                         int32_t crop_y, int32_t crop_x, int32_t flip,
+                         int32_t do_augment, float gamma, float brightness,
+                         const float* color3, int do_normalize,
+                         float* img_slot, float* dep_slot) {
+  for (int64_t y = 0; y < out_h; ++y) {
+    const float* src = img + ((crop_y + y) * w + crop_x) * 3;
+    std::memcpy(img_slot + y * out_w * 3, src, sizeof(float) * out_w * 3);
+    const float* dsrc = dep + ((crop_y + y) * w + crop_x) * 1;
+    std::memcpy(dep_slot + y * out_w, dsrc, sizeof(float) * out_w);
+  }
+  augment_normalize_f32(img_slot, out_h, out_w, flip, do_augment, gamma,
+                        brightness, color3, do_normalize);
+  if (flip) hflip_f32(dep_slot, out_h, out_w, 1);
+}
+
+// imgs/deps: n pointers to HxWx3 / HxWx1 float32 (post-rotate, pre-crop).
+// out_imgs: (n, out_h, out_w, 3); out_deps: (n, out_h, out_w, 1).
+void assemble_batch_f32(const float* const* imgs, const float* const* deps,
+                        int64_t n, const int64_t* hs, const int64_t* ws,
+                        int64_t out_h, int64_t out_w, const int32_t* crop_y,
+                        const int32_t* crop_x, const int32_t* flips,
+                        const int32_t* do_augments, const float* gammas,
+                        const float* brightnesses, const float* colors3,
+                        int do_normalize, int n_threads, float* out_imgs,
+                        float* out_deps) {
+  const int workers =
+      std::max(1, std::min<int>(n_threads, static_cast<int>(n)));
+  auto work = [&](int tid) {
+    for (int64_t i = tid; i < n; i += workers) {
+      assemble_one(imgs[i], deps[i], hs[i], ws[i], out_h, out_w, crop_y[i],
+                   crop_x[i], flips[i], do_augments[i], gammas[i],
+                   brightnesses[i], colors3 + i * 3, do_normalize,
+                   out_imgs + i * out_h * out_w * 3,
+                   out_deps + i * out_h * out_w);
+    }
+  };
+  if (workers == 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(workers);
+  for (int t = 0; t < workers; ++t) pool.emplace_back(work, t);
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -121,6 +121,57 @@ class DepthDataset:
             "depth_path": line.split()[1],
         }
 
+    def get_batch(self, idxs, rng: np.random.Generator):
+        """Batch-granularity loading for the legacy train path: stage A
+        (decode/crop/rotate) per sample, then ONE threaded native pass for
+        crop + augment + normalise + stack (csrc assemble_batch_f32).
+
+        RNG draws happen in the exact serial order of repeated ``get`` calls,
+        so the produced batch is bit-identical to the per-sample path.
+        Returns None when the fast path doesn't apply (loader falls back).
+        """
+        from objcavit_tpu.data import native
+
+        if not (self.mode == "train" and self.use_old_dl
+                and native.native_available()):
+            return None
+        from PIL import Image
+
+        images, depths, augs, metas = [], [], [], []
+        h, w = self.train_dims
+        for idx in idxs:
+            line = self.filenames[int(idx) % len(self.filenames)]
+            image_path, depth_path, focal = self._paths(line, rng)
+            image_u8 = np.asarray(Image.open(image_path).convert("RGB"))
+            depth_raw = np.asarray(Image.open(depth_path), dtype=np.float32)
+            img, dep = pp.old_dl_stage_a(
+                image_u8, depth_raw, self.dataset, self.dcfg.do_kb_crop,
+                self.dcfg.do_random_rotate, self.dcfg.degree,
+                self.dcfg.depth_norm_factor, rng,
+            )
+            augs.append(pp.old_dl_draw_aug(self.dataset, img.shape,
+                                           self.train_dims, rng))
+            images.append(img)
+            depths.append(dep)
+            metas.append((focal, line.split()[0], line.split()[1]))
+        out_imgs, out_deps = native.assemble_batch(
+            images, depths,
+            np.asarray([a["crop_yx"] for a in augs], np.int32),
+            np.asarray([a["flip"] for a in augs]),
+            np.asarray([a["do_augment"] for a in augs]),
+            np.asarray([a["gamma"] for a in augs], np.float32),
+            np.asarray([a["brightness"] for a in augs], np.float32),
+            np.stack([a["colors"] for a in augs]),
+            h, w,
+        )
+        batch = {"image": out_imgs, "depth": out_deps}
+        meta = {
+            "focal": [m[0] for m in metas],
+            "image_path": [m[1] for m in metas],
+            "depth_path": [m[2] for m in metas],
+        }
+        return batch, meta
+
 
 class SyntheticDepthDataset:
     """Deterministic fake data with the real sample contract (no dataset on

@@ -81,6 +81,16 @@ class DeviceLoader:
                     valid = np.ones(len(idxs), bool)
             else:
                 valid = np.ones(len(idxs), bool)
+            fast = None
+            if hasattr(self.dataset, "get_batch"):
+                # native threaded batch assembly (csrc assemble_batch_f32);
+                # bit-identical to the per-sample path, same RNG stream
+                fast = self.dataset.get_batch(idxs, self._rng)
+            if fast is not None:
+                batch, meta = fast
+                batch["sample_valid"] = valid
+                yield batch, meta
+                continue
             samples = [self.dataset.get(int(i), self._rng) for i in idxs]
             batch = {
                 "image": np.stack([s["image"] for s in samples]),

@@ -51,6 +51,13 @@ def _load():
         ctypes.c_float, f32p, ctypes.c_int,
     ]
     lib.hflip_f32.argtypes = [f32p, i64, i64, i64]
+    pp = ctypes.POINTER(f32p)
+    i64p = ctypes.POINTER(i64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.assemble_batch_f32.argtypes = [
+        pp, pp, i64, i64p, i64p, i64, i64, i32p, i32p, i32p, i32p,
+        f32p, f32p, f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
+    ]
     _lib = lib
     return _lib
 
@@ -130,3 +137,74 @@ def hflip(img: np.ndarray) -> np.ndarray:
     h, w, c = img.shape
     lib.hflip_f32(_ptr(img), h, w, c)
     return img
+
+
+def assemble_batch(
+    images: list,
+    depths: list,
+    crops_yx: np.ndarray,  # (N, 2) int32 top-left corners
+    flips: np.ndarray,  # (N,) bool
+    do_augments: np.ndarray,  # (N,) bool
+    gammas: np.ndarray,  # (N,) f32
+    brightnesses: np.ndarray,  # (N,) f32
+    colors3: np.ndarray,  # (N, 3) f32
+    out_h: int,
+    out_w: int,
+    n_threads: int | None = None,
+    do_normalize: bool = True,
+):
+    """Batch-level crop + legacy augment tail + stack, in C++ threads.
+
+    images[i]: HxWx3 f32 [0,1] (post-rotate, pre-crop); depths[i]: HxWx1 f32
+    metres. Returns (imgs (N,out_h,out_w,3), deps (N,out_h,out_w,1)) —
+    bit-identical to the per-sample crop+augment_normalize+stack path.
+    """
+    lib = _load()
+    n = len(images)
+    if lib is None:
+        outs_i, outs_d = [], []
+        for i in range(n):
+            y, x = int(crops_yx[i, 0]), int(crops_yx[i, 1])
+            img = images[i][y : y + out_h, x : x + out_w]
+            dep = depths[i][y : y + out_h, x : x + out_w]
+            img = augment_normalize(
+                img, bool(flips[i]), bool(do_augments[i]), float(gammas[i]),
+                float(brightnesses[i]), colors3[i], do_normalize,
+            )
+            if flips[i]:
+                dep = dep[:, ::-1].copy()
+            outs_i.append(img)
+            outs_d.append(dep)
+        return np.stack(outs_i), np.stack(outs_d)
+
+    import ctypes as ct
+
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    images = [np.ascontiguousarray(a, np.float32) for a in images]
+    depths = [np.ascontiguousarray(a, np.float32) for a in depths]
+    img_ptrs = (ct.POINTER(ct.c_float) * n)(*[_ptr(a) for a in images])
+    dep_ptrs = (ct.POINTER(ct.c_float) * n)(*[_ptr(a) for a in depths])
+    hs = np.asarray([a.shape[0] for a in images], np.int64)
+    ws = np.asarray([a.shape[1] for a in images], np.int64)
+    crops = np.ascontiguousarray(crops_yx, np.int32)
+    fl = np.ascontiguousarray(flips, np.int32)
+    da = np.ascontiguousarray(do_augments, np.int32)
+    gm = np.ascontiguousarray(gammas, np.float32)
+    br = np.ascontiguousarray(brightnesses, np.float32)
+    c3 = np.ascontiguousarray(colors3, np.float32)
+    out_imgs = np.empty((n, out_h, out_w, 3), np.float32)
+    out_deps = np.empty((n, out_h, out_w, 1), np.float32)
+    lib.assemble_batch_f32(
+        img_ptrs, dep_ptrs, n,
+        hs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        ws.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        out_h, out_w,
+        np.ascontiguousarray(crops[:, 0]).ctypes.data_as(ct.POINTER(ct.c_int32)),
+        np.ascontiguousarray(crops[:, 1]).ctypes.data_as(ct.POINTER(ct.c_int32)),
+        fl.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        da.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        _ptr(gm), _ptr(br), _ptr(c3),
+        int(do_normalize), int(n_threads), _ptr(out_imgs), _ptr(out_deps),
+    )
+    return out_imgs, out_deps

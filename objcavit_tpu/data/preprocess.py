@@ -66,22 +66,20 @@ def random_crop(image, depth, height, width, rng: np.random.Generator):
     )
 
 
-def old_dl_train_sample(
+def old_dl_stage_a(
     image_u8: np.ndarray,
     depth_raw: np.ndarray,
     dataset: str,
     do_kb_crop: bool,
     do_random_rotate: bool,
     degree: float,
-    train_dims: tuple,
     depth_norm_factor: float,
     rng: np.random.Generator,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Legacy AdaBins/BTS train pipeline (dataloader.py:116-270).
-
-    image_u8: HWC uint8; depth_raw: HW(1) raw units. Returns ImageNet-normed
-    image and depth in metres, both HWC float32 at train_dims.
-    """
+    """Legacy train pipeline, stage A (per-sample, pre-crop): kb/NYU crops,
+    PIL rotate, float scaling (dataloader.py:116-165). Stage B (crop +
+    flip/gamma/colour/normalise + stack) runs either per-sample below or as
+    one threaded native batch pass (native.assemble_batch)."""
     image = image_u8
     depth = depth_raw if depth_raw.ndim == 3 else depth_raw[:, :, None]
 
@@ -101,24 +99,69 @@ def old_dl_train_sample(
     # (dataloader.py:158-165)
     image = image.astype(np.float32) / 255.0
     depth = depth.astype(np.float32) / depth_norm_factor
+    return image, depth
 
-    image, depth = random_crop(image, depth, train_dims[0], train_dims[1], rng)
+
+def old_dl_draw_aug(
+    dataset: str,
+    image_shape: tuple,
+    train_dims: tuple,
+    rng: np.random.Generator,
+) -> dict:
+    """Stage-B parameter draws, in the EXACT serial order of the per-sample
+    path (crop x, crop y, flip, do_augment, gamma, brightness, colours) so
+    batch-mode assembly is bit-identical to sample-mode."""
+    h, w = train_dims
+    x = int(rng.integers(0, image_shape[1] - w + 1))
+    y = int(rng.integers(0, image_shape[0] - h + 1))
+    flip = rng.random() > 0.5
+    do_augment = rng.random() > 0.5
+    gamma = float(rng.uniform(0.9, 1.1))
+    brightness = float(
+        rng.uniform(0.75, 1.25) if dataset == "nyu" else rng.uniform(0.9, 1.1)
+    )
+    colors = rng.uniform(0.9, 1.1, size=3).astype(np.float32)
+    return {
+        "crop_yx": (y, x), "flip": flip, "do_augment": do_augment,
+        "gamma": gamma, "brightness": brightness, "colors": colors,
+    }
+
+
+def old_dl_train_sample(
+    image_u8: np.ndarray,
+    depth_raw: np.ndarray,
+    dataset: str,
+    do_kb_crop: bool,
+    do_random_rotate: bool,
+    degree: float,
+    train_dims: tuple,
+    depth_norm_factor: float,
+    rng: np.random.Generator,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Legacy AdaBins/BTS train pipeline (dataloader.py:116-270).
+
+    image_u8: HWC uint8; depth_raw: HW(1) raw units. Returns ImageNet-normed
+    image and depth in metres, both HWC float32 at train_dims.
+    """
+    image, depth = old_dl_stage_a(
+        image_u8, depth_raw, dataset, do_kb_crop, do_random_rotate, degree,
+        depth_norm_factor, rng,
+    )
+    aug = old_dl_draw_aug(dataset, image.shape, train_dims, rng)
+    y, x = aug["crop_yx"]
+    h, w = train_dims
+    image = image[y : y + h, x : x + w]
+    depth = depth[y : y + h, x : x + w]
 
     # flip / gamma / brightness / colour / normalise (dataloader.py:239-284)
     # fused into one native pass (objcavit_tpu/data/native.py)
     from objcavit_tpu.data import native
 
-    flip = rng.random() > 0.5
-    do_augment = rng.random() > 0.5
-    gamma = rng.uniform(0.9, 1.1)
-    brightness = (
-        rng.uniform(0.75, 1.25) if dataset == "nyu" else rng.uniform(0.9, 1.1)
-    )
-    colors = rng.uniform(0.9, 1.1, size=3).astype(np.float32)
     image = native.augment_normalize(
-        image, flip, do_augment, gamma, brightness, colors
+        image, aug["flip"], aug["do_augment"], aug["gamma"],
+        aug["brightness"], aug["colors"],
     )
-    if flip:
+    if aug["flip"]:
         depth = depth[:, ::-1].copy()
     return image.astype(np.float32), depth.astype(np.float32)
 
