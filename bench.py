@@ -54,9 +54,10 @@ def main():
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
     # model-only throughput at the serving-optimal batch (sweep on a v5e chip:
-    # b8 243.6, b32 248.9, b64 256.1 img/s — dispatch overhead amortises);
-    # the fused serving pipeline below keeps b8 to bound its compile time.
-    batch = 64
+    # b8 243.6, b32 248.9, b64 248.3, b96 255.3 img/s — dispatch overhead
+    # amortises and larger tiles schedule better); the fused serving pipeline
+    # below keeps b8 to bound its compile time.
+    batch = 96
     h, w, n_obj = 480, 640, 32
     kw = dict(
         encoder_name="efficientnet-b5", n_bins=256, min_depth=0.001,
