@@ -22,6 +22,8 @@ from objcavit_tpu.training.steps import build_model
 
 REF_PARAMS = "/root/reference/params"
 
+pytestmark = pytest.mark.slow  # 57 full init traces
+
 
 def _ref_configs():
     if not os.path.isdir(REF_PARAMS):
