@@ -25,22 +25,8 @@ measurement takes the best of 3 trials to reject transient tunnel stalls
 """
 
 import json
-import time
 
 import numpy as np
-
-
-def _best_of(fn, sync, trials=3, n_iter=30):
-    fn()  # warm / compile
-    sync()
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = fn()
-        sync(out)
-        best = min(best, (time.perf_counter() - t0) / n_iter)
-    return best
 
 
 def main():
@@ -51,6 +37,7 @@ def main():
     import jax.numpy as jnp
 
     from objcavit_tpu.models import GraphBins
+    from objcavit_tpu.utils.benchkit import best_of, build_flagship, flagship_kwargs
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
     # model-only throughput at the serving-optimal batch (sweep on a v5e chip:
@@ -59,22 +46,10 @@ def main():
     # below keeps b8 to bound its compile time.
     batch = 96
     h, w, n_obj = 480, 640, 32
-    kw = dict(
-        encoder_name="efficientnet-b5", n_bins=256, min_depth=0.001,
-        max_depth=10.0, pos_strategy="learned_bbox_wh",
-        dims_train=(416, 544), dims_test=(480, 640), dtype=jnp.bfloat16,
-    )
-    model = GraphBins(**kw)
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((batch, h, w, 3)).astype(np.float32))
-    feats = jnp.asarray(rng.standard_normal((batch, n_obj, 512)).astype(np.float32))
-    xywh = jnp.asarray(rng.uniform(0, 600, (batch, n_obj, 4)).astype(np.float32))
-    valid = jnp.asarray(rng.uniform(size=(batch, n_obj)) < 0.5)
-
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, feats, xywh, valid)
-    folded = fold_batchnorm(variables)
+    fwd, (folded, img, feats, xywh, valid) = build_flagship(batch, h, w, n_obj)
+    kw = flagship_kwargs()
     fmodel = GraphBins(**kw, fold_bn=True)
-    fwd = jax.jit(lambda p, *a: fmodel.apply(p, *a))
 
     out_holder = {}
 
@@ -85,7 +60,7 @@ def main():
     def sync(_=None):
         float(jnp.sum(out_holder["o"]["depth_pred"]))
 
-    dt = _best_of(run, sync)
+    dt = best_of(run, sync)
     img_per_s = batch / dt
 
     # --- fused serving pipeline (uint8 -> detector -> embed -> depth) -------
@@ -119,7 +94,7 @@ def main():
     def sync_pipe(_=None):
         float(jnp.sum(out_holder["p"]))
 
-    dt_pipe = _best_of(run_pipe, sync_pipe, n_iter=20)
+    dt_pipe = best_of(run_pipe, sync_pipe, n_iter=20)
     serving_img_per_s = batch / dt_pipe
 
     # --- training step (fit hot loop: aug+fwd+loss+bwd+clip+AdamW) ----------
@@ -166,7 +141,7 @@ def main():
     def sync_train(_=None):
         float(holder["l"])
 
-    dt_train = _best_of(run_train, sync_train, n_iter=10)
+    dt_train = best_of(run_train, sync_train, n_iter=10)
     train_img_per_s = tb / dt_train
 
     print(

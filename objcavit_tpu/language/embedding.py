@@ -87,9 +87,18 @@ def make_embedder(strategy: str, clip_params=None, bpe_path=None,
         import os
 
         clip_checkpoint = clip_checkpoint or os.environ.get("CLIP_CKPT_PATH")
-        if clip_params is None and clip_checkpoint and os.path.exists(clip_checkpoint):
-            from objcavit_tpu.utils.torch_import import load_clip_text_weights
+        if clip_params is None and clip_checkpoint:
+            if os.path.exists(clip_checkpoint):
+                from objcavit_tpu.utils.torch_import import load_clip_text_weights
 
-            clip_params = load_clip_text_weights(clip_checkpoint)["params"]
+                clip_params = load_clip_text_weights(clip_checkpoint)["params"]
+            else:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "configured CLIP checkpoint %s does not exist — the text "
+                    "tower runs with RANDOM weights (embeddings are noise, "
+                    "no parity)", clip_checkpoint,
+                )
         return ClipEmbedder(clip_params, bpe_path)
     raise ValueError(f"Error: Language model {strategy} not recognised")

@@ -148,6 +148,13 @@ def metrics_sync(shard_states: Dict[str, jax.Array], mesh) -> Dict[str, jax.Arra
 
     from objcavit_tpu.parallel.mesh import DATA_AXIS
 
+    n_data = mesh.shape[DATA_AXIS]
+    leading = {x.shape[0] for x in jax.tree.leaves(shard_states)}
+    assert leading == {n_data}, (
+        f"metrics_sync needs one state per data-axis worker: leading dims "
+        f"{leading} vs data axis {n_data} (a larger stack would silently "
+        f"drop entries — merge host-side first)"
+    )
     spec_in = P(DATA_AXIS)
     shard_states = jax.device_put(
         shard_states, NamedSharding(mesh, spec_in)

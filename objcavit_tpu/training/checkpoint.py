@@ -21,7 +21,30 @@ class CheckpointManager:
         self.run_dir = os.path.abspath(run_dir)
         os.makedirs(self.run_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
-        self.best_metric = float("inf")
+        # best-metric survives process restarts (auto-resume must not let the
+        # first post-resume validation clobber a better 'best' checkpoint)
+        self.best_metric = float(self._meta().get("best_metric", float("inf")))
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.run_dir, "checkpoints", "meta.json")
+
+    def _meta(self) -> dict:
+        import json
+
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _write_meta(self, **updates) -> None:
+        import json
+
+        meta = self._meta()
+        meta.update(updates)
+        os.makedirs(os.path.dirname(self._meta_path()), exist_ok=True)
+        with open(self._meta_path(), "w") as f:
+            json.dump(meta, f)
 
     def save_hparams(self, args: Config) -> None:
         wrapped = Config({"args": args.to_dict()})
@@ -35,7 +58,24 @@ class CheckpointManager:
         if abs_rel is not None and abs_rel < self.best_metric:
             self.best_metric = abs_rel
             self._ckptr.save(os.path.join(ckpt_dir, "best"), state, force=True)
+            self._write_meta(best_metric=float(abs_rel))
         self._ckptr.wait_until_finished()
+
+    def save_swa(self, swa_params: Any, swa_count: int) -> None:
+        """Persist the SWA running average so auto-resume keeps averaging
+        from where the killed run stopped (not from the resume epoch)."""
+        ckpt_dir = os.path.join(self.run_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._ckptr.save(os.path.join(ckpt_dir, "swa"), swa_params, force=True)
+        self._write_meta(swa_count=int(swa_count))
+        self._ckptr.wait_until_finished()
+
+    def restore_swa(self, target: Any) -> tuple[Any, int] | None:
+        path = os.path.join(self.run_dir, "checkpoints", "swa")
+        count = int(self._meta().get("swa_count", 0))
+        if count <= 0 or not os.path.isdir(path):
+            return None
+        return self._ckptr.restore(path, target=target), count
 
     def restore(self, path: str, target: Any) -> Any:
         return self._ckptr.restore(os.path.abspath(path), target=target)

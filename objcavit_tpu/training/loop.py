@@ -102,24 +102,34 @@ class Trainer:
                 return StubObjectProvider(self.n_obj_max)
         raise ValueError(f"unknown language strategy {strat}")
 
-    def _host_hook(self, batch_np: dict) -> dict:
+    def _host_hook(self, batch_np: dict, mirror: bool = True) -> dict:
         """Object provider, run in the loader's prefetch thread on the host
-        batch (never a device->host round trip on the training path)."""
+        batch (never a device->host round trip on the training path).
+
+        mirror=False (the TRAIN loader) skips objects_mirror entirely — only
+        eval flip-TTA consumes it, and with a live detector the mirror pass
+        costs a second full detector+CLIP run per batch."""
         if not self.is_graphbins:
             return {}
         objects = self.provider(batch_np["image"])
         annot = objects.pop("_annot", None)
-        if getattr(self.provider, "recompute_on_mirror", False):
-            # reference TTA re-runs the whole forward, detector included, on
-            # the flipped image (GraphBinsLM.py:173) — so re-detect + re-phrase
-            mirrored = self.provider(batch_np["image"][:, :, ::-1].copy())
-            mirrored.pop("_annot", None)
-        else:
-            mirrored = mirror_objects(objects, batch_np["image"].shape[2])
-        out = {"objects": objects, "objects_mirror": mirrored}
+        out = {"objects": objects}
+        if mirror:
+            if getattr(self.provider, "recompute_on_mirror", False):
+                # reference TTA re-runs the whole forward, detector included,
+                # on the flipped image (GraphBinsLM.py:173) — re-detect +
+                # re-phrase
+                mirrored = self.provider(batch_np["image"][:, :, ::-1].copy())
+                mirrored.pop("_annot", None)
+            else:
+                mirrored = mirror_objects(objects, batch_np["image"].shape[2])
+            out["objects_mirror"] = mirrored
         if annot is not None:
             out["_annot"] = annot
         return out
+
+    def _train_hook(self, batch_np: dict) -> dict:
+        return self._host_hook(batch_np, mirror=False)
 
     def _init_state(self, loader, tx) -> TrainState:
         batch, _ = next(iter(loader))
@@ -179,7 +189,7 @@ class Trainer:
         bs = args.basic.batch_size
         train_loader = DeviceLoader(
             train_ds, bs, self.mesh, shuffle=True, seed=42, drop_last=False,
-            host_hook=self._host_hook if self.is_graphbins else None,
+            host_hook=self._train_hook if self.is_graphbins else None,
             synchronous=self.sync_loading,
         )
         val_loader = DeviceLoader(
@@ -254,6 +264,11 @@ class Trainer:
         rng = jax.random.PRNGKey(42)
         swa_cfg = bool(args.optimizer.get("use_swa"))
         swa_params, swa_count = None, 0
+        if swa_cfg and resume_dir:
+            restored_swa = ckpt.restore_swa(state.params)
+            if restored_swa is not None:
+                swa_params, swa_count = restored_swa
+                logger.info("resumed SWA average (count=%d)", swa_count)
         last_metrics = {}
         writer = self._tb_writer(run_dir)
         step = int(state.step)
@@ -286,6 +301,8 @@ class Trainer:
                         lambda avg, new: avg + (new - avg) / swa_count,
                         swa_params, state.params,
                     )
+                # persisted so kill-and-resume keeps averaging from here
+                ckpt.save_swa(swa_params, swa_count)
 
             if (epoch + 1) % args.basic.get("validate_every", 1) == 0:
                 last_metrics, last_batch = self._run_eval(

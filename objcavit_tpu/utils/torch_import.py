@@ -450,7 +450,12 @@ def load_yolov7_weights(checkpoint: str, model) -> dict:
     import torch
 
     ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
-    payload = ckpt.get("model", ckpt.get("ema", ckpt)) if isinstance(ckpt, dict) else ckpt
+    # attempt_load priority: EMA weights first when present (u7 experimental.py
+    # loads ckpt['ema' if ckpt.get('ema') else 'model'])
+    if isinstance(ckpt, dict):
+        payload = ckpt.get("ema") or ckpt.get("model", ckpt)
+    else:
+        payload = ckpt
     if hasattr(payload, "state_dict"):
         sd = {k: v.float().numpy() for k, v in payload.state_dict().items()}
     else:

@@ -154,3 +154,49 @@ def test_prediction_figures_include_detections(tmp_path):
     )
     for suffix in ("im", "dets", "depth_gt", "depth_pred"):
         assert os.path.exists(os.path.join(str(tmp_path), f"3_{suffix}.png"))
+
+
+def test_train_hook_skips_mirror(tmp_path):
+    """The TRAIN loader's hook must not pay the mirror detector pass —
+    only eval flip-TTA consumes objects_mirror."""
+    args = _make_args(tmp_path)
+    trainer = Trainer(args)
+    provider = _CentroidProvider()
+    trainer.provider = provider
+    images = np.random.default_rng(0).uniform(0, 1, (2, 16, 24, 3)).astype(np.float32)
+    out = trainer._train_hook({"image": images})
+    assert "objects" in out and "objects_mirror" not in out
+    assert len(provider.calls) == 1  # single detector pass
+
+
+def test_best_metric_survives_manager_restart(tmp_path):
+    """Auto-resume must not let a worse post-resume validation clobber
+    'best' (best_metric persisted in checkpoints/meta.json)."""
+    import jax.numpy as jnp
+
+    from objcavit_tpu.training.checkpoint import CheckpointManager
+
+    state = {"w": jnp.ones(3)}
+    m1 = CheckpointManager(str(tmp_path))
+    m1.save(state, abs_rel=0.105)
+    m2 = CheckpointManager(str(tmp_path))  # a resumed process
+    assert m2.best_metric == 0.105
+    m2.save({"w": jnp.zeros(3)}, abs_rel=0.14)  # worse -> must NOT become best
+    best = CheckpointManager(str(tmp_path)).restore(
+        str(tmp_path / "checkpoints" / "best"), target=state
+    )
+    np.testing.assert_array_equal(np.asarray(best["w"]), np.ones(3))
+
+
+def test_swa_average_persists(tmp_path):
+    import jax.numpy as jnp
+
+    from objcavit_tpu.training.checkpoint import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path))
+    m.save_swa({"w": jnp.full(3, 2.5)}, swa_count=5)
+    got = CheckpointManager(str(tmp_path)).restore_swa({"w": jnp.zeros(3)})
+    assert got is not None
+    params, count = got
+    assert count == 5
+    np.testing.assert_allclose(np.asarray(params["w"]), 2.5)

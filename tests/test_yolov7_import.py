@@ -431,3 +431,32 @@ def test_implicit_fusion_exact():
         fused.bias.copy_(torch.from_numpy(b))
         got = fused(torch.from_numpy(x))
     np.testing.assert_allclose(got.numpy(), want.numpy(), rtol=1e-5, atol=1e-5)
+
+
+class _Payload:
+    """Pickleable stand-in for a saved nn.Module (state_dict() surface)."""
+
+    def __init__(self, d):
+        self._d = d
+
+    def state_dict(self):
+        return {k: torch.from_numpy(np.asarray(v)) for k, v in self._d.items()}
+
+
+def test_load_prefers_ema_weights(tmp_path, oracle):
+    """u7 attempt_load priority: 'ema' over 'model' when both are present."""
+    from objcavit_tpu.utils.torch_import import load_yolov7_weights
+
+    _, sd = oracle
+
+    zeroed = dict(sd)
+    zeroed["model.0.conv.weight"] = np.zeros_like(sd["model.0.conv.weight"])
+    path = tmp_path / "det.pt"
+    torch.save({"model": _Payload(zeroed), "ema": _Payload(sd)}, str(path))
+
+    class FakeModel:
+        num_classes = NC
+
+    out = load_yolov7_weights(str(path), FakeModel())
+    got = np.asarray(out["params"]["body"]["s0"]["conv"]["kernel"])
+    assert np.abs(got).sum() > 0, "loaded the zeroed 'model' weights, not 'ema'"
