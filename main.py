@@ -45,9 +45,11 @@ def main():
         help="bfloat16 compute (TPU-native speed; fp32 is the parity default).",
     )
     parser.add_argument(
-        "--resume", action="store_true",
+        "--resume", action=argparse.BooleanOptionalAction, default=None,
         help="Auto-resume: continue the newest run with a 'last' checkpoint, "
-             "restoring the FULL train state (params, optimizer, step).",
+             "restoring the FULL train state (params, optimizer, step). "
+             "--no-resume forces a fresh version dir even when the config "
+             "sets basic.auto_resume.",
     )
     cl = parser.parse_args()
 
@@ -88,7 +90,7 @@ def main():
         logging.info("==== RUNNING INFERENCE ====")
         trainer.predict()
     else:
-        trainer.fit(resume=cl.resume or None)
+        trainer.fit(resume=cl.resume)
 
 
 if __name__ == "__main__":

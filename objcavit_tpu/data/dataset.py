@@ -143,6 +143,9 @@ class DepthDataset:
             line = self.filenames[int(idx) % len(self.filenames)]
             image_path, depth_path, focal = self._paths(line, rng)
             image_u8 = np.asarray(Image.open(image_path).convert("RGB"))
+            # mirror get()'s explicit missing-GT failure (the serial path this
+            # claims bit-parity with) instead of a raw PIL FileNotFoundError
+            assert os.path.exists(depth_path), f"missing train GT: {depth_path}"
             depth_raw = np.asarray(Image.open(depth_path), dtype=np.float32)
             img, dep = pp.old_dl_stage_a(
                 image_u8, depth_raw, self.dataset, self.dcfg.do_kb_crop,

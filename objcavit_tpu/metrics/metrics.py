@@ -104,8 +104,16 @@ def metrics_update(
             val = jnp.sqrt(val)
         # rmse_log RunningAvg quirk: no sqrt (RMSELog.py)
         cnt = state[f"{name}_ra/count"]
-        new[f"{name}_ra/avg"] = (val + state[f"{name}_ra/avg"] * cnt) / (cnt + 1.0)
-        new[f"{name}_ra/count"] = cnt + 1.0
+        # zero-valid-pixel updates (fully-masked image) are skipped rather
+        # than folding a spurious 0 into the running average (torchmetrics
+        # would propagate a mean-of-empty nan; skipping is the sane policy)
+        has_px = n > 0.0
+        new[f"{name}_ra/avg"] = jnp.where(
+            has_px,
+            (val + state[f"{name}_ra/avg"] * cnt) / (cnt + 1.0),
+            state[f"{name}_ra/avg"],
+        )
+        new[f"{name}_ra/count"] = jnp.where(has_px, cnt + 1.0, cnt)
     return new
 
 
@@ -150,11 +158,12 @@ def metrics_sync(shard_states: Dict[str, jax.Array], mesh) -> Dict[str, jax.Arra
 
     n_data = mesh.shape[DATA_AXIS]
     leading = {x.shape[0] for x in jax.tree.leaves(shard_states)}
-    assert leading == {n_data}, (
-        f"metrics_sync needs one state per data-axis worker: leading dims "
-        f"{leading} vs data axis {n_data} (a larger stack would silently "
-        f"drop entries — merge host-side first)"
-    )
+    if leading != {n_data}:  # not assert: must survive `python -O`
+        raise ValueError(
+            f"metrics_sync needs one state per data-axis worker: leading dims "
+            f"{leading} vs data axis {n_data} (a larger stack would silently "
+            f"drop entries — merge host-side first)"
+        )
     spec_in = P(DATA_AXIS)
     shard_states = jax.device_put(
         shard_states, NamedSharding(mesh, spec_in)

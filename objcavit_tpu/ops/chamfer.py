@@ -43,16 +43,20 @@ def masked_chamfer_1d(
     """
     y_mask = y_mask.astype(bool)
     lengths = jnp.sum(y_mask, axis=1)
+    # rows with zero valid targets (padded eval samples) contribute nothing;
+    # without this guard cham_x for such a row is ~_BIG^2
+    row_valid = lengths > 0
+    n_rows = jnp.maximum(jnp.sum(row_valid), 1)
 
     y_for_x = jnp.where(y_mask, y, _BIG)  # invalid targets can never be nearest
     # (B, P, T) implicit distance tensor; both reductions fuse in XLA
     d_x = jnp.min(
         jnp.square(x[:, :, None] - y_for_x[:, None, :]), axis=2
     )  # (N, P)
-    cham_x = jnp.mean(d_x, axis=1)
+    cham_x = jnp.where(row_valid, jnp.mean(d_x, axis=1), 0.0)
 
     d_y = jnp.min(jnp.square(y[:, :, None] - x[:, None, :]), axis=2)  # (N, T)
     d_y = jnp.where(y_mask, d_y, 0.0)
     cham_y = jnp.sum(d_y, axis=1) / jnp.maximum(lengths, 1)
 
-    return jnp.mean(cham_x) + jnp.mean(cham_y)
+    return jnp.sum(cham_x) / n_rows + jnp.sum(cham_y) / n_rows

@@ -42,9 +42,15 @@ class CheckpointManager:
 
         meta = self._meta()
         meta.update(updates)
-        os.makedirs(os.path.dirname(self._meta_path()), exist_ok=True)
-        with open(self._meta_path(), "w") as f:
+        path = self._meta_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # atomic: a crash mid-write must not leave a truncated meta.json
+        # (which _meta() treats as {} — resetting best_metric to inf would
+        # let a worse validation clobber the 'best' checkpoint)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, path)
 
     def save_hparams(self, args: Config) -> None:
         wrapped = Config({"args": args.to_dict()})
@@ -61,19 +67,27 @@ class CheckpointManager:
             self._write_meta(best_metric=float(abs_rel))
         self._ckptr.wait_until_finished()
 
-    def save_swa(self, swa_params: Any, swa_count: int) -> None:
+    def save_swa(self, swa_params: Any, swa_count: int, step: int = 0) -> None:
         """Persist the SWA running average so auto-resume keeps averaging
-        from where the killed run stopped (not from the resume epoch)."""
+        from where the killed run stopped (not from the resume epoch).
+        ``step`` records the train step the average corresponds to."""
         ckpt_dir = os.path.join(self.run_dir, "checkpoints")
         os.makedirs(ckpt_dir, exist_ok=True)
         self._ckptr.save(os.path.join(ckpt_dir, "swa"), swa_params, force=True)
-        self._write_meta(swa_count=int(swa_count))
+        self._write_meta(swa_count=int(swa_count), swa_step=int(step))
         self._ckptr.wait_until_finished()
 
-    def restore_swa(self, target: Any) -> tuple[Any, int] | None:
+    def restore_swa(self, target: Any, max_step: int | None = None):
+        """Returns (params, count) or None. An SWA average recorded AHEAD of
+        the restored train state (kill landed between save_swa and the 'last'
+        checkpoint save) is discarded — re-run epochs would otherwise be
+        double-counted in the running average."""
         path = os.path.join(self.run_dir, "checkpoints", "swa")
-        count = int(self._meta().get("swa_count", 0))
+        meta = self._meta()
+        count = int(meta.get("swa_count", 0))
         if count <= 0 or not os.path.isdir(path):
+            return None
+        if max_step is not None and int(meta.get("swa_step", 0)) > int(max_step):
             return None
         return self._ckptr.restore(path, target=target), count
 

@@ -36,7 +36,7 @@ from objcavit_tpu.metrics import (
 )
 from objcavit_tpu.parallel import make_mesh
 from objcavit_tpu.training.checkpoint import CheckpointManager, restore_checkpoint
-from objcavit_tpu.training.optim import build_optimizer
+from objcavit_tpu.training.optim import build_optimizer, current_lr
 from objcavit_tpu.training.providers import (
     StubObjectProvider,
     ZerosObjectProvider,
@@ -265,13 +265,14 @@ class Trainer:
         swa_cfg = bool(args.optimizer.get("use_swa"))
         swa_params, swa_count = None, 0
         if swa_cfg and resume_dir:
-            restored_swa = ckpt.restore_swa(state.params)
+            restored_swa = ckpt.restore_swa(state.params, max_step=int(state.step))
             if restored_swa is not None:
                 swa_params, swa_count = restored_swa
                 logger.info("resumed SWA average (count=%d)", swa_count)
         last_metrics = {}
         writer = self._tb_writer(run_dir)
         step = int(state.step)
+        last_train_batch = None
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             losses = []
@@ -288,6 +289,12 @@ class Trainer:
                     logger.info("epoch %d step %d loss %.4f", epoch, step, lv)
                     if writer:
                         writer.add_scalar("train/loss", lv, step)
+                        # LearningRateMonitor parity (reference main.py:33);
+                        # Lightning tags the scalar lr-<OptimizerClass>
+                        lr_now = current_lr(state.opt_state)
+                        if lr_now is not None:
+                            writer.add_scalar("lr-AdamW", lr_now, step)
+                last_train_batch = batch
 
             # SWA: average weights over the tail epochs (Lightning default:
             # last 20% of training, swa epoch start = 0.8 * max_epochs)
@@ -301,8 +308,16 @@ class Trainer:
                         lambda avg, new: avg + (new - avg) / swa_count,
                         swa_params, state.params,
                     )
-                # persisted so kill-and-resume keeps averaging from here
-                ckpt.save_swa(swa_params, swa_count)
+                # persisted so kill-and-resume keeps averaging from here; the
+                # recorded step lets resume discard an average that is AHEAD
+                # of the restorable 'last' state (see restore_swa)
+                ckpt.save_swa(swa_params, swa_count, step=step)
+
+            # training-batch figure per epoch (GraphBinsLM.py:149-151)
+            if writer and last_train_batch is not None:
+                self._log_train_figure(
+                    writer, state, last_train_batch, step
+                )
 
             if (epoch + 1) % args.basic.get("validate_every", 1) == 0:
                 last_metrics, last_batch = self._run_eval(
@@ -455,6 +470,35 @@ class Trainer:
         tx = build_optimizer(args.optimizer.lr, args.optimizer.wd, 1)
         state = self._init_state(loader, tx)
         return {"params": state.params, "batch_stats": state.batch_stats}
+
+    def _log_train_figure(self, writer, state, batch, step):
+        """train/samples figure: RGB / GT / prediction on the last training
+        batch of the epoch (reference training_epoch_end,
+        GraphBinsLM.py:149-151). One extra no-TTA forward per epoch, compiled
+        once (train shapes are static)."""
+        try:
+            if not hasattr(self, "_train_fig_fwd"):
+                def fwd(params, batch_stats, image, objects):
+                    inputs = (image,)
+                    if self.is_graphbins:
+                        inputs = (image, objects["features"], objects["xywh"],
+                                  objects["valid"])
+                    out = self.model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        *inputs, train=False,
+                    )
+                    return out["depth_pred"]
+
+                self._train_fig_fwd = jax.jit(fwd)
+            pred = self._train_fig_fwd(
+                state.params, state.batch_stats, batch["image"],
+                batch.get("objects"),
+            )
+            self._log_sample_figure(
+                writer, "train/samples", (batch, pred, None), step
+            )
+        except Exception as e:  # figures must never kill training
+            logger.warning("train figure logging failed: %s", e)
 
     def _log_sample_figure(self, writer, tag, last_batch, step):
         """RGB / GT / prediction (+ detections) grid to TensorBoard

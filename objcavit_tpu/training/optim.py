@@ -109,6 +109,22 @@ def swa_lr_schedule(
     return schedule
 
 
+def current_lr(opt_state: Any):
+    """Learning rate recorded by inject_hyperparams in the optimizer state
+    (the value used by the MOST RECENT update). Returns None on the plain
+    constant-LR AdamW path. Powers the reference's LearningRateMonitor
+    parity (main.py:33) without re-deriving the schedule host-side."""
+    hp = getattr(opt_state, "hyperparams", None)
+    if isinstance(hp, dict) and "learning_rate" in hp:
+        return float(jax.device_get(hp["learning_rate"]))
+    if isinstance(opt_state, (tuple, list)):
+        for s in opt_state:
+            lr = current_lr(s)
+            if lr is not None:
+                return lr
+    return None
+
+
 def _encoder_label_tree(params: Any) -> Any:
     """Label each leaf 'encoder' or 'other' based on its path (the encoder
     lives under dense_feature_extractor/encoder, GraphBins.py:38-39)."""

@@ -159,7 +159,12 @@ def make_eval_step(
             )
             bin_edges = out["bin_edges"]
 
+        # padded samples (final partial batch) are excluded from the logged
+        # loss too, not just the metrics: their mask pixels go False, silog's
+        # count and chamfer's per-row validity then skip them entirely
+        sample_valid = batch["sample_valid"][:, None, None, None]
         depth_mask = (depth_gt > mp_cfg.min_depth) & (depth_gt <= mp_cfg.max_depth)
+        depth_mask = depth_mask & sample_valid
         loss = loss_wrapper(depth_pred, depth_gt, depth_mask, bin_edges)
 
         pred_m, mask_m = metrics_preprocess(depth_pred, depth_gt, mp_cfg)

@@ -128,3 +128,56 @@ def test_metrics_preprocess_eigen_crop_nyu():
     assert not mask[0, :, :41].any() and not mask[0, :, 601:].any()
     inside = (gt[0, 45:471, 41:601, 0] > 0.001) & (gt[0, 45:471, 41:601, 0] <= 10.0)
     np.testing.assert_array_equal(mask[0, 45:471, 41:601, 0], inside)
+
+
+def test_metrics_zero_valid_update_skipped():
+    """A fully-masked update (padded/empty image) must not fold a spurious 0
+    into the running-average family, nor touch the pixel totals."""
+    state = metrics_init()
+    pred = RNG.uniform(0.1, 9.0, size=(1, 4, 5, 1)).astype(np.float32)
+    gt = RNG.uniform(0.1, 9.0, size=(1, 4, 5, 1)).astype(np.float32)
+    mask = np.ones_like(gt, dtype=bool)
+    state = metrics_update(state, jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask))
+    before = {k: float(v) for k, v in metrics_compute(state).items()}
+    state = metrics_update(
+        state, jnp.asarray(pred), jnp.asarray(gt), jnp.zeros_like(mask)
+    )
+    after = {k: float(v) for k, v in metrics_compute(state).items()}
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=0, err_msg=k)
+
+
+def test_chamfer_all_invalid_row_excluded():
+    """An all-invalid row (padded eval sample) contributes nothing; loss over
+    [valid, padded] equals loss over [valid] alone and stays finite."""
+    from objcavit_tpu.ops.chamfer import masked_chamfer_1d
+
+    x = jnp.asarray(RNG.uniform(0.1, 9.0, size=(2, 6)).astype(np.float32))
+    y = jnp.asarray(RNG.uniform(0.1, 9.0, size=(2, 11)).astype(np.float32))
+    mask = np.ones((2, 11), bool)
+    mask[1] = False  # second sample fully padded
+    got = float(masked_chamfer_1d(x, y, jnp.asarray(mask)))
+    want = float(masked_chamfer_1d(x[:1], y[:1], jnp.ones((1, 11), bool)))
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_loss_wrapper_padded_sample_invariance():
+    """The logged eval loss must be identical whether or not a zero-masked
+    padded sample rides along in the batch (training/steps.py eval_step)."""
+    pred = RNG.uniform(0.1, 9.0, size=(1, 8, 10, 1)).astype(np.float32)
+    gt = RNG.uniform(0.1, 9.0, size=(1, 8, 10, 1)).astype(np.float32)
+    edges = np.sort(RNG.uniform(0.001, 10, size=(1, 17)).astype(np.float32), axis=1)
+    lw = LossWrapper(["silog", "bins_chamfer"], [1.0, 0.1])
+
+    alone = float(lw(jnp.asarray(pred), jnp.asarray(gt),
+                     jnp.ones_like(gt, bool), jnp.asarray(edges)))
+    pad = np.zeros_like(pred)
+    pred2 = np.concatenate([pred, pad + 1.0])
+    gt2 = np.concatenate([gt, pad])  # padded gt is zeros
+    mask2 = np.concatenate([np.ones_like(gt, bool), np.zeros_like(gt, bool)])
+    edges2 = np.concatenate([edges, edges])
+    padded = float(lw(jnp.asarray(pred2), jnp.asarray(gt2),
+                      jnp.asarray(mask2), jnp.asarray(edges2)))
+    assert np.isfinite(padded)
+    np.testing.assert_allclose(padded, alone, rtol=1e-6)

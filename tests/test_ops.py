@@ -160,3 +160,46 @@ def test_bins_to_depth_matches_reference_math():
     np.testing.assert_allclose(
         np.asarray(depth)[..., 0], td.squeeze(1).numpy(), rtol=1e-5, atol=1e-6
     )
+
+
+def test_greedy_keep_fixed_point_matches_serial_nms():
+    """The fixed-point greedy-NMS solver must match the textbook serial scan
+    bit-for-bit: random clusters, deep suppression chains, and the
+    all-suppressed / none-candidate edges."""
+    from objcavit_tpu.ops.nms import _greedy_keep, _iou_matrix, xywh_to_xyxy
+
+    def serial(iou, cand, thr):
+        k = len(cand)
+        keep = np.zeros(k, bool)
+        for i in range(k):
+            suppressed = any(keep[j] and iou[i, j] > thr for j in range(i))
+            keep[i] = cand[i] and not suppressed
+        return keep
+
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        k = 64
+        if trial < 8:  # dense random clusters around few centres -> overlaps
+            centres = rng.uniform(40, 200, (4, 2))
+            c = centres[rng.integers(0, 4, k)] + rng.normal(0, 8, (k, 2))
+            wh = rng.uniform(20, 60, (k, 2))
+        else:  # chain: each box overlaps only its neighbours (deep chains)
+            c = np.stack([np.arange(k) * 12.0 + 50, np.full(k, 50.0)], 1)
+            wh = np.full((k, 2), 20.0)
+        xyxy = np.asarray(
+            xywh_to_xyxy(jnp.asarray(np.concatenate([c, wh], 1), jnp.float32))
+        )
+        iou = np.asarray(_iou_matrix(jnp.asarray(xyxy)))
+        cand = rng.uniform(size=k) < 0.85
+        for thr in (0.2, 0.45, 0.6):
+            got = np.asarray(_greedy_keep(jnp.asarray(iou), jnp.asarray(cand), thr))
+            want = serial(iou, cand, thr)
+            np.testing.assert_array_equal(got, want, err_msg=f"{trial}/{thr}")
+    # edges: no candidates at all
+    none = np.zeros(8, bool)
+    iou8 = np.asarray(_iou_matrix(jnp.asarray(np.tile([0, 0, 10, 10.0], (8, 1)))))
+    assert not np.asarray(_greedy_keep(jnp.asarray(iou8), jnp.asarray(none), 0.5)).any()
+    # identical boxes: only the top-scored survives
+    all_c = np.ones(8, bool)
+    got = np.asarray(_greedy_keep(jnp.asarray(iou8), jnp.asarray(all_c), 0.5))
+    assert got.tolist() == [True] + [False] * 7

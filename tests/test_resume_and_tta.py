@@ -200,3 +200,40 @@ def test_swa_average_persists(tmp_path):
     params, count = got
     assert count == 5
     np.testing.assert_allclose(np.asarray(params["w"]), 2.5)
+
+
+def test_swa_resume_discards_average_ahead_of_state(tmp_path):
+    """A kill between save_swa and the 'last' checkpoint save leaves an SWA
+    average recorded AHEAD of the restorable state; resuming must discard it
+    (re-run epochs would be double-counted in the running average)."""
+    import jax.numpy as jnp
+
+    from objcavit_tpu.training.checkpoint import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path))
+    m.save_swa({"w": jnp.full(3, 2.5)}, swa_count=5, step=120)
+    fresh = CheckpointManager(str(tmp_path))
+    # restored 'last' state sits at step 100 < the SWA's 120 -> discard
+    assert fresh.restore_swa({"w": jnp.zeros(3)}, max_step=100) is None
+    # at or past the recorded step the average is valid
+    got = fresh.restore_swa({"w": jnp.zeros(3)}, max_step=120)
+    assert got is not None and got[1] == 5
+
+
+def test_meta_json_write_is_atomic(tmp_path):
+    """meta.json updates go through a temp file + os.replace; a pre-existing
+    good meta must never be readable as truncated mid-write."""
+    import json
+    import os
+
+    from objcavit_tpu.training.checkpoint import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path))
+    m._write_meta(best_metric=0.25)
+    m._write_meta(swa_count=3)  # second write merges, atomically
+    path = m._meta_path()
+    with open(path) as f:
+        meta = json.load(f)
+    assert meta == {"best_metric": 0.25, "swa_count": 3}
+    assert not os.path.exists(path + ".tmp")
+    assert CheckpointManager(str(tmp_path)).best_metric == 0.25
