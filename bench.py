@@ -8,15 +8,24 @@ v5e-8 at quality parity (BASELINE.json) => 250 img/s/chip. vs_baseline is
 measured img/s/chip divided by 250. The reference publishes no throughput
 numbers of its own (BASELINE.md).
 
-Two numbers are measured:
+Measured programs (all AOT-compiled once; XLA cost_analysis FLOPs from the
+same executable power the MFU numbers):
   * value — the flagship GraphBins-B5 forward (bf16, BatchNorm folded, object
-    features pre-supplied), the model-only throughput.
+    features pre-supplied) at the throughput-optimal batch (sweep on a v5e
+    chip: b8 243.6, b32 248.9, b64 248.3, b96 255.3 img/s).
   * extras.serving_fused_img_per_s — the full fused serving program:
     device-resident uint8 frames -> resize/normalise -> YOLOv7-seg ->
     fixed-shape NMS -> class-embedding gather -> GraphBins depth, one XLA
-    program, zero host round-trips (serving.FusedDepthPipeline). Detector and
-    CLIP table are randomly initialised (weights aren't in this image), which
-    does not affect op timing.
+    program, zero host round-trips (serving.FusedDepthPipeline), at ITS
+    optimal batch (r3 sweep: b8 152.9, b32 154.0, b96 169.7 img/s).
+    Detector and CLIP table are randomly initialised (weights aren't in this
+    image), which does not affect op timing.
+  * extras.p50_ms — median synchronised latency of one fused bs=8 batch (the
+    latency a serving caller observes per dispatch, incl. the host readback).
+  * extras.{model,serving}_mfu_pct — achieved TFLOP/s over the v5e bf16 peak
+    (197 TFLOP/s).
+  * extras.train_ms_per_step_bs8_416x544 — the fit hot loop (augment +
+    forward + loss + backward + clip + AdamW), one jitted program.
 
 Timing notes: jax.block_until_ready does not fully synchronise through the
 axon TPU tunnel, so completion is forced with a host readback; each
@@ -37,13 +46,16 @@ def main():
     import jax.numpy as jnp
 
     from objcavit_tpu.models import GraphBins
-    from objcavit_tpu.utils.benchkit import best_of, build_flagship, flagship_kwargs
+    from objcavit_tpu.utils.benchkit import (
+        V5E_BF16_PEAK_TFLOPS,
+        best_of,
+        build_flagship,
+        flagship_kwargs,
+        flops_of_compiled,
+        p50_of,
+    )
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
-    # model-only throughput at the serving-optimal batch (sweep on a v5e chip:
-    # b8 243.6, b32 248.9, b64 248.3, b96 255.3 img/s — dispatch overhead
-    # amortises and larger tiles schedule better); the fused serving pipeline
-    # below keeps b8 to bound its compile time.
     batch = 96
     h, w, n_obj = 480, 640, 32
     rng = np.random.default_rng(0)
@@ -51,10 +63,12 @@ def main():
     kw = flagship_kwargs()
     fmodel = GraphBins(**kw, fold_bn=True)
 
+    model_c = fwd.lower(folded, img, feats, xywh, valid).compile()
+    model_flops = flops_of_compiled(model_c)
     out_holder = {}
 
     def run():
-        out_holder["o"] = fwd(folded, img, feats, xywh, valid)
+        out_holder["o"] = model_c(folded, img, feats, xywh, valid)
         return out_holder["o"]
 
     def sync(_=None):
@@ -62,13 +76,12 @@ def main():
 
     dt = best_of(run, sync)
     img_per_s = batch / dt
+    model_mfu = model_flops / dt / 1e12 / V5E_BF16_PEAK_TFLOPS * 100
 
     # --- fused serving pipeline (uint8 -> detector -> embed -> depth) -------
     from objcavit_tpu.models.yolov7 import Yolov7Seg
     from objcavit_tpu.serving import FusedDepthPipeline
 
-    batch = 8
-    img, feats, xywh, valid = (a[:batch] for a in (img, feats, xywh, valid))
     num_classes = 1203
     frames = jnp.asarray(
         rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8)
@@ -86,16 +99,42 @@ def main():
         fmodel, folded, det_model, det_params, table,
         eval_dims=(h, w), n_obj_max=n_obj,
     )
+    shape = tuple(frames.shape)
+    pipe_jit = pipe._fns.setdefault(shape, pipe._build(shape))
+    pipe_c = pipe_jit.lower(
+        pipe.variables, pipe.detector_params, pipe.class_table, frames
+    ).compile()
+    pipe_flops = flops_of_compiled(pipe_c)
 
     def run_pipe():
-        out_holder["p"] = pipe(frames)
+        out_holder["p"] = pipe_c(
+            pipe.variables, pipe.detector_params, pipe.class_table, frames
+        )
         return out_holder["p"]
 
     def sync_pipe(_=None):
         float(jnp.sum(out_holder["p"]))
 
-    dt_pipe = best_of(run_pipe, sync_pipe, n_iter=20)
+    dt_pipe = best_of(run_pipe, sync_pipe, n_iter=8)
     serving_img_per_s = batch / dt_pipe
+    serving_mfu = pipe_flops / dt_pipe / 1e12 / V5E_BF16_PEAK_TFLOPS * 100
+
+    # p50 serving latency at bs=8 (the latency-oriented batch)
+    b8 = 8
+    frames8 = frames[:b8]
+    shape8 = tuple(frames8.shape)
+    pipe8 = pipe._fns.setdefault(shape8, pipe._build(shape8))
+
+    def run_p50():
+        out_holder["q"] = pipe8(
+            pipe.variables, pipe.detector_params, pipe.class_table, frames8
+        )
+        return out_holder["q"]
+
+    def sync_p50(_=None):
+        float(jnp.sum(out_holder["q"]))
+
+    p50_batch_s = p50_of(run_p50, sync_p50)
 
     # --- training step (fit hot loop: aug+fwd+loss+bwd+clip+AdamW) ----------
     from objcavit_tpu.losses import LossWrapper
@@ -153,6 +192,12 @@ def main():
                 "vs_baseline": round(img_per_s / 250.0, 3),
                 "serving_fused_img_per_s": round(serving_img_per_s, 1),
                 "serving_fused_vs_baseline": round(serving_img_per_s / 250.0, 3),
+                "p50_ms": round(p50_batch_s * 1000, 1),
+                "p50_ms_per_image": round(p50_batch_s / b8 * 1000, 2),
+                "model_gflops_per_img": round(model_flops / batch / 1e9, 1),
+                "serving_gflops_per_img": round(pipe_flops / batch / 1e9, 1),
+                "model_mfu_pct": round(model_mfu, 1),
+                "serving_mfu_pct": round(serving_mfu, 1),
                 "train_ms_per_step_bs8_416x544": round(dt_train * 1000, 1),
                 "train_img_per_s": round(train_img_per_s, 1),
             }
