@@ -275,17 +275,56 @@ class Yolov7Seg(nn.Module):
     fold_bn: bool = False
 
     @nn.compact
-    def __call__(self, image, train: bool = False):
+    def __call__(self, image, train: bool = False, topk_positions: int | None = None):
+        """topk_positions=None: full heads, returns ([3 x (B,h,w,3,no)], proto).
+
+        topk_positions=k (serving fast path): the box+obj head runs on the
+        full grid, but the 1203-class + mask-coefficient head runs ONLY on
+        the top-k positions per level by objectness — the (B, A, no~1240)
+        tensor (4.4 GB of HBM write+read at the serving batch) is never
+        materialised. Returns ([3 x sparse-level dicts], proto); decode with
+        ``decode_best_sparse``. Selection-by-objectness mirrors yolov7's own
+        `xc = obj > conf_thres` candidate pre-filter (general.py NMS).
+        Exactness: with k = h*w this reproduces the full path bit-for-bit
+        (tests/test_yolov7.py)."""
+        from objcavit_tpu.models.common import ConvParams
+
         (o3, o4, o5), proto_in = Yolov7SegBackboneNeck(
             dtype=self.dtype, fold_bn=self.fold_bn, name="body"
         )(image, train)
         proto = Proto(256, self.nm, dtype=self.dtype, fold_bn=self.fold_bn, name="proto")(proto_in, train)
         no = 5 + self.num_classes + self.nm
+        sel5 = np.asarray([a * no + c for a in range(3) for c in range(5)])
+        sel_rest = np.asarray(
+            [a * no + c for a in range(3) for c in range(5, no)]
+        )
         preds = []
         for i, o in enumerate((o3, o4, o5)):
-            p = nn.Conv(3 * no, (1, 1), dtype=self.dtype, name=f"detect{i}")(o)
-            n, h, w, _ = p.shape
-            preds.append(p.reshape(n, h, w, 3, no))
+            kernel, bias = ConvParams(3 * no, (1, 1), name=f"detect{i}")(
+                o.shape[-1]
+            )
+            k2 = kernel[0, 0].astype(self.dtype)  # (Cin, 3*no); 1x1 conv = matmul
+            bias = bias.astype(self.dtype)
+            n, h, w, cin = o.shape
+            flat = o.reshape(n, h * w, cin)
+            if topk_positions is None:
+                p = flat @ k2 + bias
+                preds.append(p.reshape(n, h, w, 3, no))
+                continue
+            k = min(topk_positions, h * w)
+            y5 = (flat @ k2[:, sel5] + bias[sel5]).reshape(n, h * w, 3, 5)
+            pos_score = jnp.max(y5[..., 4].astype(jnp.float32), axis=-1)
+            _, pos_idx = jax.lax.top_k(pos_score, k)  # (B, k)
+            feat = jnp.take_along_axis(flat, pos_idx[..., None], axis=1)
+            rest = (feat @ k2[:, sel_rest] + bias[sel_rest]).reshape(
+                n, k, 3, no - 5
+            )
+            y5_sel = jnp.take_along_axis(
+                y5.reshape(n, h * w, 15), pos_idx[..., None], axis=1
+            ).reshape(n, k, 3, 5)
+            preds.append(
+                {"y5": y5_sel, "rest": rest, "pos_idx": pos_idx, "hw": (h, w)}
+            )
         return preds, proto
 
 
@@ -348,6 +387,43 @@ def decode_best(
         best.append(score.reshape(n, -1))
         best_cls.append(a.reshape(n, -1))
         coef.append(p[..., 5 + num_classes :].reshape(n, -1, nm))
+    return (
+        jnp.concatenate(boxes, 1),
+        jnp.concatenate(best, 1),
+        jnp.concatenate(best_cls, 1),
+        jnp.concatenate(coef, 1),
+    )
+
+
+def decode_best_sparse(
+    levels: Sequence[dict], num_classes: int, nm: int = 32
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """decode_best for the ``topk_positions`` sparse head output.
+
+    levels: per-level dicts {y5 (B,k,3,5), rest (B,k,3,nc+nm), pos_idx (B,k),
+    hw}. Returns flat (B, sum_k*3) boxes/score/class/coeffs over the selected
+    anchors only. Identical math to decode_best on the selected positions.
+    """
+    boxes, best, best_cls, coef = [], [], [], []
+    for lvl, stride, anchors in zip(levels, STRIDES, ANCHORS):
+        y5, rest, pos_idx = lvl["y5"], lvl["rest"], lvl["pos_idx"]
+        h, w = lvl["hw"]
+        n, k = pos_idx.shape
+        sig5 = jax.nn.sigmoid(y5)
+        gx = (pos_idx % w).astype(jnp.float32)[..., None]  # (B, k, 1)
+        gy = (pos_idx // w).astype(jnp.float32)[..., None]
+        grid = jnp.stack([gx, gy], axis=-1)  # (B, k, 1, 2) broadcast over anchors
+        anc = jnp.asarray(anchors, jnp.float32)  # (3, 2)
+        xy = (sig5[..., 0:2] * 2.0 - 0.5 + grid) * stride
+        wh = (sig5[..., 2:4] * 2.0) ** 2 * anc[None, None]
+        cls_logits = rest[..., :num_classes]
+        m = jnp.max(cls_logits, axis=-1)
+        a = jnp.argmax(cls_logits, axis=-1)
+        score = sig5[..., 4] * jax.nn.sigmoid(m.astype(jnp.float32))
+        boxes.append(jnp.concatenate([xy, wh], -1).reshape(n, -1, 4))
+        best.append(score.reshape(n, -1))
+        best_cls.append(a.reshape(n, -1))
+        coef.append(rest[..., num_classes:].reshape(n, -1, nm))
     return (
         jnp.concatenate(boxes, 1),
         jnp.concatenate(best, 1),

@@ -175,6 +175,7 @@ class FusedDepthPipeline:
         n_obj_max: int = 32,
         conf_thres: float = 0.25,
         iou_thres: float = 0.45,
+        det_topk: int | None = 128,
     ):
         self.model = model
         self.variables = variables
@@ -185,10 +186,15 @@ class FusedDepthPipeline:
         self.n_obj_max = n_obj_max
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
+        # det_topk: class/coef head evaluated only on the top-k positions per
+        # level by objectness (yolov7's own candidate pre-filter semantics);
+        # None = full dense head. 128 positions x 3 anchors x 3 levels = 1152
+        # candidate anchors ahead of the usual 256-candidate NMS.
+        self.det_topk = det_topk
         self._fns = {}
 
     def _build(self, in_shape):
-        from objcavit_tpu.models.yolov7 import decode_best
+        from objcavit_tpu.models.yolov7 import decode_best, decode_best_sparse
         from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy, xyxy_to_xywh
 
         eh, ew = self.eval_dims
@@ -199,12 +205,20 @@ class FusedDepthPipeline:
             x01 = resize_bilinear(x01, eh, ew, align_corners=False)
             normed = (x01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
-            preds, _proto = self.detector_model.apply(det_params, x01, train=False)
-            boxes, best, best_cls, _coef = decode_best(preds, num_classes)
+            preds, _proto = self.detector_model.apply(
+                det_params, x01, train=False, topk_positions=self.det_topk
+            )
+            if self.det_topk is None:
+                boxes, best, best_cls, _coef = decode_best(preds, num_classes)
+            else:
+                boxes, best, best_cls, _coef = decode_best_sparse(
+                    preds, num_classes
+                )
             det = batched_nms(
                 xywh_to_xyxy(boxes), best, best_cls,
                 self.conf_thres, self.iou_thres,
-                pre_topk=256, max_det=self.n_obj_max,
+                pre_topk=min(256, int(boxes.shape[1])),
+                max_det=self.n_obj_max,
             )
             xywh = xyxy_to_xywh(det["boxes_xyxy"])
             valid = det["valid"]
