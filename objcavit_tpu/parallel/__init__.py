@@ -4,5 +4,18 @@ from objcavit_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from objcavit_tpu.parallel.tp import (
+    count_tp_sharded,
+    tp_shard_params,
+    tp_spec_for,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "tp_shard_params",
+    "tp_spec_for",
+    "count_tp_sharded",
+]

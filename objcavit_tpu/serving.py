@@ -40,6 +40,8 @@ class DepthPipeline:
         output_at_input_res: bool = False,
         use_mesh: bool = True,
         provider=None,
+        spatial: bool = False,
+        mesh=None,
     ):
         self.model = model
         self.variables = variables
@@ -48,7 +50,14 @@ class DepthPipeline:
         self.output_at_input_res = output_at_input_res
         self.is_graphbins = isinstance(model, GraphBins)
         self.provider = provider
-        self.mesh = make_mesh() if use_mesh else None
+        self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+        # spatial: additionally shard the image height over the mesh's
+        # 'model' axis (2-D mesh spatial partitioning). GSPMD halo-exchanges
+        # the conv pyramid and reshards around the attention stacks; this is
+        # the TPU answer to large eval resolutions / small serving batches
+        # where pure batch sharding leaves chips idle (e.g. the reference's
+        # bs=1 eval protocol, main.py:58, on a v5e-8).
+        self.spatial = spatial
         self._fns = {}
 
     @functools.lru_cache(maxsize=8)
@@ -100,6 +109,17 @@ class DepthPipeline:
             frames, feats, xywh, valid = shard_batch(
                 self.mesh, (frames, feats, xywh, valid)
             )
+            if self.spatial:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from objcavit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+                n_model = self.mesh.shape[MODEL_AXIS]
+                if n_model > 1 and frames.shape[1] % n_model == 0:
+                    data = DATA_AXIS if frames.shape[0] % self.mesh.shape[DATA_AXIS] == 0 else None
+                    frames = jax.device_put(
+                        frames, NamedSharding(self.mesh, P(data, MODEL_AXIS))
+                    )
         return self._fns[shape](self.variables, frames, feats, xywh, valid)
 
 
