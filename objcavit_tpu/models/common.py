@@ -201,6 +201,69 @@ class SqueezeExcite(nn.Module):
         return x * self.gate(s)
 
 
+class SpaceToDepthConv(nn.Module):
+    """EXACT rewrite of a 3x3 stride-2 conv as space-to-depth + 2x2 conv.
+
+    XLA's conv path for a C_in=3 stem measures 0.7% MFU at (96,480,640,3)
+    (15 ms of the 118 ms encoder forward, scripts/profile_encoder_stages.py):
+    the 3-channel input defeats both lane packing and the MXU contracting
+    dim. Folding 2x2 pixel blocks into channels (H,W,C)->(H/2,W/2,4C) turns
+    the stem into a 2x2 stride-1 conv with a 4x wider contraction on
+    half-size spatial maps — the standard TPU space-to-depth stem (MLPerf
+    ResNet), here derived for BOTH padding conventions the encoders use:
+
+      * 'tf' (tf_efficientnet_*): SAME on even H/W pads (0,1) -> output i
+        reads rows {2i, 2i+1, 2i+2} = s2d blocks {i, i+1}, sub-rows
+        {0, 1, 0}: one trailing block of padding, taps at 2*by+sy.
+      * 'torch' (torchvision v2): symmetric (1,1) -> rows {2i-1, 2i, 2i+1}
+        = blocks {i-1, i}: one leading block of padding, taps at 2*by+sy-1.
+
+    Parameter names, shapes, and init are IDENTICAL to
+    ``TorchConv(features, (3,3), (2,2), padding=conv_padding(...))`` — the
+    rearrangement happens at apply time — so weight import, BN folding, and
+    checkpoints are unaffected, and the rewrite is exact in forward AND
+    backward (everything is linear). Requires even H and W; callers fall
+    back to TorchConv otherwise (the param trees match).
+    """
+
+    features: int
+    pad_style: str = "tf"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, "SpaceToDepthConv needs even H, W"
+        kernel = self.param("kernel", torch_kernel_init, (3, 3, c, self.features))
+        # pad taps to a 4x4 grid: 'tf' appends the zero row/col, 'torch'
+        # prepends it (tap index = 2*by + sy - pad_before).
+        if self.pad_style == "tf":
+            kp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            xpad = ((0, 0), (0, 1), (0, 1), (0, 0))
+        else:
+            kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            xpad = ((0, 0), (1, 0), (1, 0), (0, 0))
+        # (4,4,C,O) -> (by,sy,bx,sx,C,O) -> (by,bx, sy*2C+sx*C+c, O)
+        kp = kp.reshape(2, 2, 2, 2, c, self.features)
+        kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * c, self.features)
+        # space-to-depth: channel index = sy*2C + sx*C + c (matches kp)
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        xs = xs.reshape(b, h // 2, w // 2, 4 * c)
+        xs = jnp.pad(xs, xpad)
+        y = jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), kp.astype(self.dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_bias_init_for(9 * c), (self.features,)
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def conv_padding(pad_style: str, kernel_size) -> Any:
     """'tf' -> asymmetric SAME (tf_efficientnet_* variants); 'torch' ->
     symmetric k//2 padding (torchvision efficientnet_v2_*)."""
@@ -221,17 +284,31 @@ class ConvBnAct(nn.Module):
     act: Callable | None = jax.nn.silu
     pad_style: str = "tf"
     fold_bn: bool = False
+    s2d: bool = False  # exact space-to-depth rewrite (3x3 s2, even H/W)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert not (self.fold_bn and train), "fold_bn is inference-only"
-        x = TorchConv(
-            self.features, self.kernel_size, self.strides,
-            use_bias=self.fold_bn,
-            padding=conv_padding(self.pad_style, self.kernel_size),
-            dtype=self.dtype, name="conv",
-        )(x)
+        if (
+            self.s2d
+            and not train  # inference-only: the rewrite's backward is slower
+            and tuple(self.kernel_size) == (3, 3)
+            and tuple(self.strides) == (2, 2)
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            x = SpaceToDepthConv(
+                self.features, pad_style=self.pad_style,
+                use_bias=self.fold_bn, dtype=self.dtype, name="conv",
+            )(x)
+        else:
+            x = TorchConv(
+                self.features, self.kernel_size, self.strides,
+                use_bias=self.fold_bn,
+                padding=conv_padding(self.pad_style, self.kernel_size),
+                dtype=self.dtype, name="conv",
+            )(x)
         if not self.fold_bn:
             x = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="bn")(
                 x, use_running_average=not train

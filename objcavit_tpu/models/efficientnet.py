@@ -171,9 +171,13 @@ class EfficientNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         spec = ENCODER_SPECS[self.encoder_name]
+        # s2d=True: exact space-to-depth stem rewrite (see SpaceToDepthConv;
+        # the C_in=3 conv measured 15 ms / 0.7% MFU of the 118 ms bs=96
+        # encoder forward). Param tree is unchanged; falls back to the plain
+        # conv for odd H/W.
         x = ConvBnAct(
             spec.stem_channels, (3, 3), (2, 2), pad_style=spec.pad_style,
-            fold_bn=self.fold_bn, dtype=self.dtype, name="stem",
+            fold_bn=self.fold_bn, s2d=True, dtype=self.dtype, name="stem",
         )(x, train)
         skips = []
         total_blocks = sum(s[2] for s in spec.stages)

@@ -65,6 +65,105 @@ class Conv(nn.Module):
         return jax.nn.silu(x)
 
 
+class _ConvParams(nn.Module):
+    """Declares the (kernel, bias) of an ``nn.Conv(features, (3,3))`` without
+    running it — identical names/shapes/init, so the param tree matches the
+    folded dense stem and checkpoint import is unchanged."""
+
+    features: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _StemConvParams(nn.Module):
+    """Scope shim: puts _ConvParams under ``<name>/conv`` like Conv does."""
+
+    features: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.features, self.in_ch, name="conv")()
+
+
+def _s2d_stem_pair(x, k0, b0, k1, b1, dtype):
+    """EXACT space-to-depth rewrite of the detector stem:
+    s0 (3x3 s1 pad1 3->32) + SiLU + s1 (3x3 s2 pad1 32->64) + SiLU.
+
+    The dense pair materialises (B,480,640,32) — the largest tensor in the
+    fused serving program — at 6.4%% MFU (~16 ms of the bs=96 batch,
+    scripts/profile_detector_stages.py). Rewritten on the (H/2,W/2,4C)
+    space-to-depth tensor: s0 becomes a 3x3 conv 12->128 whose output stays
+    in s2d layout (channel = (sub_y*2+sub_x)*32 + c), s1 consumes it as a
+    2x2 conv 128->64 producing the normal-layout /2 feature map. 2.1x the
+    FLOPs of the dense pair but fully lane-aligned and half the spatial
+    rows; math is exact (same taps, zeros elsewhere).
+    """
+    b, h, w, c = x.shape
+    o0, o1 = k0.shape[-1], k1.shape[-1]
+    k0 = k0.astype(dtype)
+    k1 = k1.astype(dtype)
+    # s2d input: channel index = sy*2c + sx*c + ci
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(b, h // 2, w // 2, 4 * c).astype(dtype)
+
+    # --- s0 as 3x3 s2d conv, s2d-layout output ---------------------------
+    # output sub-pixel (syo,sxo) at block (i,j) reads original rows
+    # 2i+syo-1 .. 2i+syo+1; input row 2(i-1+by)+sy -> tap ty = 2by+sy-syo-1
+    K0 = jnp.zeros((3, 3, 2, 2, c, 2, 2, o0), dtype)
+    for by in range(3):
+        for sy in range(2):
+            for syo in range(2):
+                ty = 2 * by + sy - syo - 1
+                if not 0 <= ty <= 2:
+                    continue
+                for bx in range(3):
+                    for sx in range(2):
+                        for sxo in range(2):
+                            tx = 2 * bx + sx - sxo - 1
+                            if 0 <= tx <= 2:
+                                K0 = K0.at[by, bx, sy, sx, :, syo, sxo, :].set(
+                                    k0[ty, tx]
+                                )
+    K0 = K0.reshape(3, 3, 4 * c, 4 * o0)
+    y0 = jax.lax.conv_general_dilated(
+        jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0))), K0,
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y0 = jax.nn.silu(y0 + jnp.tile(b0.astype(dtype), 4))
+
+    # --- s1 as 2x2 conv on the s2d tensor, normal-layout output ----------
+    # output row i (stride 2, pad 1) reads rows 2i-1..2i+1; input row
+    # 2(i-1+by)+sy -> tap ty = 2by+sy-1
+    K1 = jnp.zeros((2, 2, 2, 2, o0, o1), dtype)
+    for by in range(2):
+        for sy in range(2):
+            ty = 2 * by + sy - 1
+            if not 0 <= ty <= 2:
+                continue
+            for bx in range(2):
+                for sx in range(2):
+                    tx = 2 * bx + sx - 1
+                    if 0 <= tx <= 2:
+                        K1 = K1.at[by, bx, sy, sx].set(k1[ty, tx])
+    K1 = K1.reshape(2, 2, 4 * o0, o1)
+    y1 = jax.lax.conv_general_dilated(
+        jnp.pad(y0, ((0, 0), (1, 0), (1, 0), (0, 0))), K1,
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.nn.silu(y1 + b1.astype(dtype))
+
+
 class ELAN(nn.Module):
     """Backbone E-ELAN: 2 parallel 1x1s; one side runs 4 3x3s; concat 4 taps."""
 
@@ -218,9 +317,16 @@ class Yolov7SegBackboneNeck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
-        # stem + P1/P2
-        x = Conv(32, 3, dtype=dt, fold_bn=self.fold_bn, name="s0")(x, train)
-        x = Conv(64, 3, 2, dtype=dt, fold_bn=self.fold_bn, name="s1")(x, train)   # /2
+        # stem + P1/P2 — folded inference on even inputs takes the exact
+        # space-to-depth rewrite (see _s2d_stem_pair); both paths declare
+        # the identical s0/s1 param tree
+        if self.fold_bn and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            k0, b0 = _StemConvParams(32, x.shape[-1], name="s0")()
+            k1, b1 = _StemConvParams(64, 32, name="s1")()
+            x = _s2d_stem_pair(x, k0, b0, k1, b1, dt)                          # /2
+        else:
+            x = Conv(32, 3, dtype=dt, fold_bn=self.fold_bn, name="s0")(x, train)
+            x = Conv(64, 3, 2, dtype=dt, fold_bn=self.fold_bn, name="s1")(x, train)  # /2
         x = Conv(64, 3, dtype=dt, fold_bn=self.fold_bn, name="s2")(x, train)
         x = Conv(128, 3, 2, dtype=dt, fold_bn=self.fold_bn, name="s3")(x, train)  # /4
         p2 = ELAN(64, 256, dtype=dt, fold_bn=self.fold_bn, name="elan1")(x, train)
