@@ -185,7 +185,11 @@ def drop_path(x, rate: float, deterministic: bool, rng=None):
 
 
 class SqueezeExcite(nn.Module):
-    """EfficientNet SE block: squeeze to se_channels, SiLU, expand, sigmoid."""
+    """EfficientNet SE block: squeeze to se_channels, SiLU, expand, sigmoid.
+
+    ``pooled`` (B,1,1,C) skips the internal mean — used when the fused
+    Pallas MBConv head already produced the spatial pool (ops/mbconv_pallas).
+    """
 
     se_channels: int
     dtype: Dtype = jnp.float32
@@ -193,8 +197,10 @@ class SqueezeExcite(nn.Module):
     act: Callable = jax.nn.silu
 
     @nn.compact
-    def __call__(self, x):
-        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+    def __call__(self, x, pooled=None):
+        s = pooled if pooled is not None else jnp.mean(
+            x, axis=(1, 2), keepdims=True
+        )
         s = TorchConv(self.se_channels, (1, 1), dtype=self.dtype, name="reduce")(s)
         s = self.act(s)
         s = TorchConv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
@@ -318,8 +324,29 @@ class ConvBnAct(nn.Module):
         return x
 
 
+class _ConvScope(nn.Module):
+    """Declares ConvParams under ``<name>/conv`` — the param tree of a
+    folded ConvBnAct — without running the conv (fused-kernel path)."""
+
+    features: int
+    kernel_size: Sequence[int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return ConvParams(
+            self.features, self.kernel_size, name="conv"
+        )(in_features)
+
+
 class MBConv(nn.Module):
-    """EfficientNet inverted-residual block (expand -> dw -> SE -> project)."""
+    """EfficientNet inverted-residual block (expand -> dw -> SE -> project).
+
+    ``fused_head=True`` (folded inference on TPU, eligible shapes) computes
+    expand+SiLU+dw+SiLU+SE-pool in ONE Pallas kernel
+    (ops/mbconv_pallas.py) — identical params, identical math; SE gate and
+    project stay in XLA which fuses the gate multiply into the project
+    read. See docs/PERF.md for the measured pass-structure analysis.
+    """
 
     out_channels: int
     expand_ratio: float
@@ -330,32 +357,65 @@ class MBConv(nn.Module):
     bn_eps: float = 1e-3
     pad_style: str = "tf"
     fold_bn: bool = False
+    fused_head: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from objcavit_tpu.ops import mbconv_pallas as _mp
+
         in_ch = x.shape[-1]
         mid = int(in_ch * self.expand_ratio)
+        k = self.kernel_size
+        use_fused = (
+            self.fused_head
+            and self.fold_bn
+            and not train
+            and self.expand_ratio != 1
+            and self.se_ratio > 0
+            and self.pad_style == "tf"  # SAME == symmetric for odd k, s=1
+            and _mp.mbconv_eligible(x.shape[1], x.shape[2], in_ch, mid, k,
+                                    self.stride)
+            and (jax.default_backend() == "tpu" or _mp.INTERPRET)
+        )
         h = x
-        if self.expand_ratio != 1:
-            h = ConvBnAct(mid, (1, 1), bn_eps=self.bn_eps, fold_bn=self.fold_bn,
-                          dtype=self.dtype, name="expand")(h, train)
-        # depthwise
-        k2 = (self.kernel_size, self.kernel_size)
-        h = TorchConv(
-            mid, k2, (self.stride, self.stride),
-            padding=conv_padding(self.pad_style, k2),
-            feature_group_count=mid, use_bias=self.fold_bn, dtype=self.dtype,
-            name="dw_conv",
-        )(h)
-        if not self.fold_bn:
-            h = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="dw_bn")(
-                h, use_running_average=not train
+        if use_fused:
+            ke, be = _ConvScope(mid, (1, 1), name="expand")(in_ch)
+            kd, bd = ConvParams(mid, (k, k), name="dw_conv")(1)
+            h, pool = _mp.mbconv_expand_dw_pool(
+                x.astype(self.dtype),
+                ke.reshape(in_ch, mid).astype(self.dtype),
+                be.astype(jnp.float32),
+                kd.astype(self.dtype),
+                bd.astype(jnp.float32),
+                ksize=k,
+                interpret=_mp.INTERPRET,
             )
-        h = jax.nn.silu(h)
-        if self.se_ratio > 0:
+            pooled = (pool / (x.shape[1] * x.shape[2]))[:, None, None, :]
+            pooled = pooled.astype(self.dtype)
             se_ch = max(1, int(in_ch * self.se_ratio))
-            h = SqueezeExcite(se_ch, dtype=self.dtype, name="se")(h)
+            h = SqueezeExcite(se_ch, dtype=self.dtype, name="se")(
+                h, pooled=pooled
+            )
+        else:
+            if self.expand_ratio != 1:
+                h = ConvBnAct(mid, (1, 1), bn_eps=self.bn_eps,
+                              fold_bn=self.fold_bn,
+                              dtype=self.dtype, name="expand")(h, train)
+            k2 = (k, k)
+            h = TorchConv(
+                mid, k2, (self.stride, self.stride),
+                padding=conv_padding(self.pad_style, k2),
+                feature_group_count=mid, use_bias=self.fold_bn,
+                dtype=self.dtype, name="dw_conv",
+            )(h)
+            if not self.fold_bn:
+                h = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype,
+                              name="dw_bn")(h, use_running_average=not train)
+            h = jax.nn.silu(h)
+            if self.se_ratio > 0:
+                se_ch = max(1, int(in_ch * self.se_ratio))
+                h = SqueezeExcite(se_ch, dtype=self.dtype, name="se")(h)
         h = ConvBnAct(self.out_channels, (1, 1), bn_eps=self.bn_eps, act=None,
                       fold_bn=self.fold_bn, dtype=self.dtype,
                       name="project")(h, train)

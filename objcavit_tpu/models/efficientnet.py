@@ -166,6 +166,7 @@ class EfficientNetEncoder(nn.Module):
     encoder_name: str
     drop_path_rate: float = 0.0
     fold_bn: bool = False
+    fused_mbconv_head: bool = False  # Pallas expand+dw+pool (inference, TPU)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -199,6 +200,7 @@ class EfficientNetEncoder(nn.Module):
                     x = MBConv(
                         out_ch, expand, kernel, s, drop_path_rate=dpr,
                         pad_style=spec.pad_style, fold_bn=self.fold_bn,
+                        fused_head=self.fused_mbconv_head,
                         dtype=self.dtype, name=name,
                     )(x, train)
                 else:  # fused (v2)
