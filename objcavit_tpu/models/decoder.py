@@ -78,6 +78,8 @@ class UpSampleWithSkip(nn.Module):
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         assert not (self.fold_bn and train), "fold_bn is inference-only"
+        from objcavit_tpu.ops import resize_pallas as _rp
+
         # interpolation-weight rounding at model precision: bf16 models use
         # fast matmul passes here (the exact-fp32 path costs 6x on the MXU)
         prec = (
@@ -85,9 +87,17 @@ class UpSampleWithSkip(nn.Module):
             if self.dtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST
         )
-        x = resize_bilinear(
-            x, skip.shape[1], skip.shape[2], align_corners=True, precision=prec
-        )
+        oh, ow = skip.shape[1], skip.shape[2]
+        if (
+            self.dtype == jnp.bfloat16
+            and not train
+            and _rp.resize_eligible(x.shape[1], x.shape[2], x.shape[3], oh, ow)
+            and (jax.default_backend() == "tpu" or _rp.INTERPRET)
+        ):
+            # one-pass Pallas resize: no minor-dim transposes (docs/PERF.md)
+            x = _rp.resize_bilinear_pallas(x, oh, ow, interpret=_rp.INTERPRET)
+        else:
+            x = resize_bilinear(x, oh, ow, align_corners=True, precision=prec)
         x = ConcatSplitConv(self.out_features, (3, 3), dtype=self.dtype,
                             name="conv0")(x, skip)
         if not self.fold_bn:

@@ -92,15 +92,24 @@ def resize_bilinear(
     if (h, w) == (out_h, out_w):
         return x
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    prec = jax.lax.Precision.HIGHEST if precision is None else precision
+    if precision is None:
+        # parity-critical path: fp32 passes, exact interpolation weights
+        prec = jax.lax.Precision.HIGHEST
+        xf = x.astype(jnp.float32)
+    else:
+        # declared-fast path (bf16 decoder): materialise the passes in the
+        # input dtype — the fp32 upcast DOUBLED the HBM traffic of the
+        # decoder's biggest bandwidth op (measured: up-stage resizes run at
+        # 0.6-3.3%% MFU, docs/PERF.md). MXU still accumulates in fp32.
+        prec = precision
+        xf = x
     if h != out_h:
-        mh = jnp.asarray(_interp_matrix(h, out_h, align_corners))
+        mh = jnp.asarray(_interp_matrix(h, out_h, align_corners), xf.dtype)
         # (out_h, h) @ (n, h, w*c) -> (n, out_h, w*c)
         xf = jnp.einsum(
             "oh,nhk->nok", mh, xf.reshape(n, h, w * c), precision=prec
         ).reshape(n, out_h, w, c)
     if w != out_w:
-        mw = jnp.asarray(_interp_matrix(w, out_w, align_corners))
+        mw = jnp.asarray(_interp_matrix(w, out_w, align_corners), xf.dtype)
         xf = jnp.einsum("ow,nhwc->nhoc", mw, xf, precision=prec)
     return xf.astype(dtype)
