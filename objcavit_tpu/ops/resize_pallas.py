@@ -42,6 +42,7 @@ INTERPRET = False
 
 def _plan(hi: int, wi: int, c: int, ho: int, wo: int):
     """(TR, TRS): output band rows and static input slab rows, or None."""
+    wi8 = -(-wi // 8) * 8  # W zero-padded to the DMA sublane tiling
     for tr in (16, 15, 12, 10, 8, 6, 5, 4, 3, 2):
         if ho % tr:
             continue
@@ -53,9 +54,9 @@ def _plan(hi: int, wi: int, c: int, ho: int, wo: int):
             hi1 = int(hi_i[b0 + tr - 1])
             trs = max(trs, hi1 - lo0 + 1)
         trs = min(trs + 1, hi)  # +1 slack for the hi tap, capped at Hi
-        slab = trs * wi * c * 2
+        slab = trs * wi8 * c * 2
         out = 2 * tr * wo * c * 2
-        mw = wo * wi * 2
+        mw = wo * wi8 * 2
         if slab + out + mw <= _VMEM_BUDGET:
             return tr, trs
     return None
@@ -64,8 +65,10 @@ def _plan(hi: int, wi: int, c: int, ho: int, wo: int):
 def resize_eligible(hi: int, wi: int, c: int, ho: int, wo: int) -> bool:
     return (
         ho > hi and wo > wi and hi > 1 and wi > 1
-        # Mosaic DMA slices must be tile-aligned in the last two dims
-        and wi % 8 == 0 and c % 128 == 0
+        # Mosaic DMA slices must be lane-tile-aligned (W is zero-padded to
+        # the sublane tiling inside resize_bilinear_pallas — exact, the
+        # interp matrix gets zero columns)
+        and c % 128 == 0
         and _plan(hi, wi, c, ho, wo) is not None
     )
 
@@ -107,6 +110,9 @@ def resize_bilinear_pallas(
     assert plan is not None, "caller must check resize_eligible first"
     tr, trs = plan
     n_bands = out_h // tr
+    wi8 = -(-wi // 8) * 8
+    if wi8 != wi:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wi8 - wi), (0, 0)))
 
     lo, hi_i, frac = _interp_taps(hi, out_h, True)
     start = np.zeros((n_bands,), np.int32)
@@ -121,7 +127,10 @@ def resize_bilinear_pallas(
             lhi[bnd, t] = int(hi_i[bnd * tr + t]) - s
             fr[bnd, t] = float(frac[bnd * tr + t])
 
-    mw = jnp.asarray(_interp_matrix(wi, out_w, True), x.dtype)
+    mw_np = _interp_matrix(wi, out_w, True)
+    if wi8 != wi:
+        mw_np = np.pad(mw_np, ((0, 0), (0, wi8 - wi)))
+    mw = jnp.asarray(mw_np, x.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -134,7 +143,7 @@ def resize_bilinear_pallas(
             (1, tr, out_w, c), lambda *args: (args[0], args[1], 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((trs, wi, c), x.dtype),
+            pltpu.VMEM((trs, wi8, c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

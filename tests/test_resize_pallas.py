@@ -22,6 +22,7 @@ RNG = np.random.default_rng(5)
         (2, 8, 16, 128, 16, 32),    # clean 2x
         (1, 15, 16, 128, 30, 40),   # up2-like non-integer W ratio
         (2, 6, 8, 256, 14, 21),     # awkward ratios, several bands
+        (1, 17, 22, 128, 30, 40),   # up1-like: W zero-padded to tiling
     ],
 )
 def test_pallas_resize_matches_einsum(shape):
@@ -68,6 +69,6 @@ def test_eligibility_gates_alignment_and_direction():
     assert resize_eligible(120, 160, 256, 240, 320)   # up4
     assert resize_eligible(60, 80, 512, 120, 160)     # up3
     assert resize_eligible(30, 40, 1024, 60, 80)      # up2
-    assert not resize_eligible(17, 22, 2048, 30, 40)  # up1: wi % 8 != 0
+    assert resize_eligible(17, 22, 2048, 30, 40)     # up1 (W zero-padded)
     assert not resize_eligible(240, 320, 256, 120, 160)  # downscale
     assert not resize_eligible(120, 160, 40, 240, 320)   # c % 128 != 0
