@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from objcavit_tpu.models.common import ConvParams
 from objcavit_tpu.models.decoder import DenseFeatureExtractor
 from objcavit_tpu.models.minivit import MiniViT
-from objcavit_tpu.ops.bins import bins_head_depth
+from objcavit_tpu.ops.bins import bins_head_depth_factored
 
 
 class AdaBins(nn.Module):
@@ -39,7 +39,7 @@ class AdaBins(nn.Module):
         )(image, train)
 
         max_seq_len = 1200 if self.do_final_upscale else 500
-        bin_widths_normed, range_maps = MiniViT(
+        bin_widths_normed, feat, queries = MiniViT(
             in_channels=128, n_query_channels=128, patch_size=16,
             dim_out=self.n_bins, embed_dim=128, norm="linear",
             max_seq_len=max_seq_len, dtype=self.dtype, attn_impl=self.attn_impl,
@@ -47,10 +47,10 @@ class AdaBins(nn.Module):
         )(unet_out, deterministic=not train)
 
         kernel, bias = ConvParams(self.n_bins, (1, 1), name="conv_out")(
-            range_maps.shape[-1]
+            queries.shape[1]
         )
-        depth, edges = bins_head_depth(
-            bin_widths_normed, range_maps, kernel, bias,
+        depth, edges = bins_head_depth_factored(
+            bin_widths_normed, feat, queries, kernel, bias,
             self.min_depth, self.max_depth, train,
         )
         return {"depth_pred": depth, "bin_edges": edges}

@@ -197,13 +197,17 @@ class SqueezeExcite(nn.Module):
     act: Callable = jax.nn.silu
 
     @nn.compact
-    def __call__(self, x, pooled=None):
+    def __call__(self, x, pooled=None, gate_only: bool = False):
         s = pooled if pooled is not None else jnp.mean(
             x, axis=(1, 2), keepdims=True
         )
         s = TorchConv(self.se_channels, (1, 1), dtype=self.dtype, name="reduce")(s)
         s = self.act(s)
         s = TorchConv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
+        if gate_only:
+            # (B, 1, 1, C) gate for the fused epilogue kernel
+            # (ops/se_project_pallas.se_gate_project)
+            return self.gate(s)
         return x * self.gate(s)
 
 
@@ -324,6 +328,48 @@ class ConvBnAct(nn.Module):
         return x
 
 
+def _use_se_project_epilogue(block, train: bool, h) -> bool:
+    """Fused SE-gate + project + skip epilogue eligibility.
+
+    MEASURED NEGATIVE on chip (scripts/ab_se_project.py, bs=96: 0.48-1.04x
+    XLA across the B5 stage shapes) — XLA's unfused mul+conv+add schedule
+    beats the streaming kernel, echoing the fused-MBConv-head result
+    (docs/PERF.md). Kept wired for interpreter-mode tests only
+    (``se_project_pallas.ENABLE`` flips it on for experiments)."""
+    from objcavit_tpu.ops import se_project_pallas as _sp
+
+    return (
+        block.fold_bn
+        and not train
+        and _sp.se_project_eligible(h.shape[1], h.shape[2], h.shape[3])
+        and ((_sp.ENABLE and jax.default_backend() == "tpu") or _sp.INTERPRET)
+    )
+
+
+def _se_project_epilogue(block, h, x, se_ch: int, in_ch: int, out_ch: int):
+    """SE gate -> ONE streaming Pallas pass (gate * h) @ W_project + skip.
+
+    Identical params and math to SqueezeExcite + ConvBnAct('project') +
+    residual add; drop_path is the identity at inference so it is elided.
+    """
+    from objcavit_tpu.ops import se_project_pallas as _sp
+
+    mid = h.shape[-1]
+    gate = SqueezeExcite(se_ch, dtype=block.dtype, name="se")(
+        h, gate_only=True
+    )  # (B, 1, 1, M)
+    kp, bp = _ConvScope(out_ch, (1, 1), name="project")(mid)
+    skip = x if (block.stride == 1 and in_ch == out_ch) else None
+    return _sp.se_gate_project(
+        h,
+        gate.reshape(h.shape[0], mid),
+        kp.reshape(mid, out_ch).astype(block.dtype),
+        bp.astype(jnp.float32),
+        skip,
+        interpret=_sp.INTERPRET,
+    )
+
+
 class _ConvScope(nn.Module):
     """Declares ConvParams under ``<name>/conv`` — the param tree of a
     folded ConvBnAct — without running the conv (fused-kernel path)."""
@@ -415,6 +461,10 @@ class MBConv(nn.Module):
             h = jax.nn.silu(h)
             if self.se_ratio > 0:
                 se_ch = max(1, int(in_ch * self.se_ratio))
+                if _use_se_project_epilogue(self, train, h):
+                    return _se_project_epilogue(
+                        self, h, x, se_ch, in_ch, self.out_channels
+                    )
                 h = SqueezeExcite(se_ch, dtype=self.dtype, name="se")(h)
         h = ConvBnAct(self.out_channels, (1, 1), bn_eps=self.bn_eps, act=None,
                       fold_bn=self.fold_bn, dtype=self.dtype,
@@ -456,6 +506,10 @@ class DepthwiseSeparable(nn.Module):
         h = jax.nn.silu(h)
         if self.se_ratio > 0:
             se_ch = max(1, int(in_ch * self.se_ratio))
+            if _use_se_project_epilogue(self, train, h):
+                return _se_project_epilogue(
+                    self, h, x, se_ch, in_ch, self.out_channels
+                )
             h = SqueezeExcite(se_ch, dtype=self.dtype, name="se")(h)
         h = ConvBnAct(self.out_channels, (1, 1), bn_eps=self.bn_eps, act=None,
                       fold_bn=self.fold_bn, dtype=self.dtype,

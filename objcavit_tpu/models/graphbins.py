@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from objcavit_tpu.models.common import ConvParams
 from objcavit_tpu.models.decoder import DenseFeatureExtractor
 from objcavit_tpu.models.objcavit import ObjCAViT
-from objcavit_tpu.ops.bins import bins_head_depth
+from objcavit_tpu.ops.bins import bins_head_depth_factored
 
 
 class GraphBins(nn.Module):
@@ -57,7 +57,7 @@ class GraphBins(nn.Module):
             name="dense_feature_extractor",
         )(image, train)
 
-        bin_widths_normed, range_maps = ObjCAViT(
+        bin_widths_normed, feat, queries = ObjCAViT(
             im_feature_dim=128, obj_feature_dim=self.obj_feature_dim,
             n_query_channels=128, patch_size=16, dim_out=self.n_bins,
             embed_dim=self.embedding_dim, norm="linear",
@@ -69,10 +69,10 @@ class GraphBins(nn.Module):
           deterministic=not train)
 
         kernel, bias = ConvParams(self.n_bins, (1, 1), name="conv_out")(
-            range_maps.shape[-1]
+            queries.shape[1]
         )
-        depth, edges = bins_head_depth(
-            bin_widths_normed, range_maps, kernel, bias,
+        depth, edges = bins_head_depth_factored(
+            bin_widths_normed, feat, queries, kernel, bias,
             self.min_depth, self.max_depth, train,
         )
         return {"depth_pred": depth, "bin_edges": edges}

@@ -17,7 +17,6 @@ from objcavit_tpu.models.common import TorchConv
 from objcavit_tpu.models.layers import (
     BinRegressor,
     PatchTransformerEncoder,
-    pixelwise_dot_product,
 )
 
 
@@ -47,7 +46,6 @@ class MiniViT(nn.Module):
 
         regression_head = tgt[:, 0, :]
         queries = tgt[:, 1 : self.n_query_channels + 1, :]
-        range_attention_maps = pixelwise_dot_product(feat, queries)
 
         y = BinRegressor(self.dim_out, dtype=self.dtype, name="regressor")(
             regression_head
@@ -60,4 +58,8 @@ class MiniViT(nn.Module):
         else:
             y = nn.sigmoid(y)
             y = y / jnp.sum(y, axis=1, keepdims=True)
-        return y, range_attention_maps
+        # range-attention maps stay FACTORED as (feat, queries); the bins
+        # head contracts them (ops/bins.bins_head_depth_factored) so the
+        # (B, H, W, K_q) tensor (reference modules/layers.py:27-36) is never
+        # materialised on the TPU inference path.
+        return y, feat, queries

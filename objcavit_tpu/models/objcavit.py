@@ -37,7 +37,6 @@ from objcavit_tpu.models.layers import (
     BinRegressor,
     MultiHeadAttention,
     TransformerEncoder,
-    pixelwise_dot_product,
 )
 from objcavit_tpu.ops.grid_sample import grid_sample_bilinear
 from objcavit_tpu.ops.roi_align import ps_roi_align_1x1
@@ -308,7 +307,6 @@ class ObjCAViT(nn.Module):
             self.embed_dim, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
             name="conv3x3",
         )(image_features)
-        range_attention_maps = pixelwise_dot_product(feat, queries)
 
         y = BinRegressor(self.dim_out, dtype=self.dtype, name="regressor")(
             regression_head
@@ -321,4 +319,8 @@ class ObjCAViT(nn.Module):
         else:
             y = nn.sigmoid(y)
             y = y / jnp.sum(y, axis=1, keepdims=True)
-        return y, range_attention_maps
+        # range-attention maps stay FACTORED as (feat, queries); the bins
+        # head contracts them (ops/bins.bins_head_depth_factored) so the
+        # (B, H, W, K_q) tensor (reference modules/layers.py:27-36) is never
+        # materialised on the TPU inference path.
+        return y, feat, queries

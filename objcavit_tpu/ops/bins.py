@@ -115,3 +115,50 @@ def bins_logits_to_depth(
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         depth = jnp.einsum("nhwk,nk->nhw", probs, centers)[..., None]
     return depth, edges
+
+
+def bins_head_depth_factored(
+    bin_widths_normed: jax.Array,
+    feat: jax.Array,  # (B, H, W, C) conv3x3 output (model dtype)
+    queries: jax.Array,  # (B, K_q, C) transformer query tokens
+    kernel: jax.Array,  # (1, 1, K_q, K) conv_out kernel (checkpoint layout)
+    bias: jax.Array,  # (K,)
+    min_depth: float,
+    max_depth: float,
+    train: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Bins head on the FACTORED range-attention maps.
+
+    The reference computes range maps with a pixel-wise dot product
+    (modules/layers.py:27-36) and then a 1x1 conv over them
+    (AdaBins.py:51-54 / GraphBins.py:59-62):
+
+        logits = (feat @ queries^T) @ W + b
+
+    The (B, H, W, K_q) intermediate is the second-largest tensor of the
+    forward. On TPU inference we refold associatively — per image,
+    ``M_b = queries_b^T @ W`` (a (C, K) matmul of negligible cost) — so the
+    range maps never exist in HBM and the Pallas bins kernel contracts the
+    decoder features directly. Training (and non-TPU backends) keeps the
+    reference op order, which the bins custom-VJP path differentiates.
+    """
+    if not train and jax.default_backend() == "tpu":
+        from objcavit_tpu.ops.pallas_bins import fused_conv_bins_depth_batched
+
+        edges, centers = bin_edges_centers(
+            bin_widths_normed.astype(jnp.float32), min_depth, max_depth
+        )
+        kq, k = kernel.shape[-2], kernel.shape[-1]
+        m = jnp.einsum(
+            "bqc,qk->bck", queries.astype(jnp.float32),
+            kernel.reshape(kq, k).astype(jnp.float32),
+        ).astype(feat.dtype)
+        depth = fused_conv_bins_depth_batched(feat, m, bias, centers)
+        return depth, edges
+    from objcavit_tpu.models.layers import pixelwise_dot_product
+
+    range_maps = pixelwise_dot_product(feat, queries)
+    return bins_head_depth(
+        bin_widths_normed, range_maps, kernel, bias, min_depth, max_depth,
+        train,
+    )

@@ -196,3 +196,64 @@ def fused_conv_bins_depth(
         centers[:, None, :].astype(jnp.float32),
     )
     return depth.reshape(b, h, w_, 1)
+
+
+def _fwd_conv_batched_kernel(x_ref, w_ref, b_ref, centers_ref, depth_ref):
+    x = x_ref[0]  # (T, C) model dtype
+    w = w_ref[0]  # (C, K) this image's folded kernel
+    b = b_ref[...].astype(jnp.float32)  # (1, K)
+    c = centers_ref[0].astype(jnp.float32)  # (1, K)
+    l = jnp.dot(x, w, preferred_element_type=jnp.float32) + b  # (T, K) fp32
+    m = jnp.max(l, axis=-1, keepdims=True)
+    e = jnp.exp(l - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    num = jnp.sum(e * c, axis=-1, keepdims=True)
+    depth_ref[0] = (num / denom).T
+
+
+def fused_conv_bins_depth_batched(
+    x: jax.Array,  # (B, H, W, C) features (model dtype)
+    kernels: jax.Array,  # (B, C, K) per-image folded 1x1 kernels
+    bias: jax.Array,  # (K,)
+    centers: jax.Array,  # (B, K) fp32 bin centres
+) -> jax.Array:
+    """Per-image-kernel variant of ``fused_conv_bins_depth``.
+
+    Used by the factored bins head: the ObjCAViT/miniViT range-attention
+    matmul (layers.py:157, reference modules/layers.py:27-36) composed with
+    the 1x1 conv_out is associatively refolded as
+
+        logits = (feat @ Q^T) @ W = feat @ (Q^T @ W)
+
+    so the per-image (C, K) kernel here is ``queries^T @ conv_out`` and the
+    (B, H, W, n_queries) range-attention tensor never reaches HBM.
+    """
+    b, h, w_, c = x.shape
+    k = kernels.shape[-1]
+    s = h * w_
+    t = _tiles(s)
+    nt = s // t
+    grid = (b, nt)
+    depth = pl.pallas_call(
+        _fwd_conv_batched_kernel,
+        out_shape=jax.ShapeDtypeStruct((b * nt, 1, t), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, k), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, t), lambda i, j, nt=nt: (i * nt + j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(
+        x.reshape(b, s, c), kernels, bias.reshape(1, k),
+        centers[:, None, :].astype(jnp.float32),
+    )
+    return depth.reshape(b, h, w_, 1)

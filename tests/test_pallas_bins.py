@@ -69,3 +69,31 @@ def test_fused_conv_bins_depth_matches_unfused():
         got = fused_conv_bins_depth(x, kern, bias, centers)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_fused_conv_bins_depth_batched_matches_unfactored_chain():
+    """Factored bins head: feat @ (Q^T W) == (feat @ Q^T) @ W -> softmax
+    expectation, the associative refold used by bins_head_depth_factored."""
+    from objcavit_tpu.ops.pallas_bins import fused_conv_bins_depth_batched
+
+    b, h, w, c, kq, k = 2, 8, 16, 32, 16, 24
+    feat = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+    queries = jnp.asarray(RNG.standard_normal((b, kq, c)).astype(np.float32))
+    kern = jnp.asarray(
+        (0.3 * RNG.standard_normal((kq, k))).astype(np.float32)
+    )
+    bias = jnp.asarray((0.1 * RNG.standard_normal(k)).astype(np.float32))
+    centers = jnp.asarray(
+        np.sort(RNG.uniform(0.001, 10, (b, k))).astype(np.float32)
+    )
+
+    range_maps = jnp.einsum("bhwc,bqc->bhwq", feat, queries)
+    logits = jnp.einsum("bhwq,qk->bhwk", range_maps, kern) + bias
+    want = _ref(logits, centers)
+
+    m = jnp.einsum("bqc,qk->bck", queries, kern)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_conv_bins_depth_batched(feat, m, bias, centers)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
