@@ -65,3 +65,62 @@ def test_stream_depth_batches_and_trims():
     total = np.concatenate(out_depths)
     assert total.shape == (19, 32, 48, 1)
     assert np.isfinite(total).all()
+
+
+def test_fused_pipeline_no_detection_sentinel_matches_direct_forward():
+    """FusedDepthPipeline end-to-end on CPU (tiny GraphBins + full-width
+    YOLOv7-seg at 64x96): with conf_thres > 1 nothing can pass NMS, so the
+    fused program must take the reference's no-detection sentinel path
+    (xywh=-1, one valid <UNK> slot, ObjCAViT.py:310-315) and match a direct
+    GraphBins forward fed the same sentinel objects."""
+    from objcavit_tpu.models.yolov7 import Yolov7Seg
+    from objcavit_tpu.serving import FusedDepthPipeline
+
+    dims = (64, 96)
+    n_obj = 4
+    model = GraphBins(
+        encoder_name="efficientnet-tiny", n_bins=16, min_depth=0.001,
+        max_depth=10.0, pos_strategy="learned_bbox_wh",
+        dims_train=dims, dims_test=dims,
+    )
+    img0 = jnp.zeros((1, *dims, 3), jnp.float32)
+    feats0 = jnp.zeros((1, n_obj, 512), jnp.float32)
+    xywh0 = jnp.full((1, n_obj, 4), -1.0, jnp.float32)
+    valid0 = jnp.zeros((1, n_obj), bool).at[:, 0].set(True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), img0, feats0, xywh0, valid0
+    )
+
+    nc = 4
+    det = Yolov7Seg(num_classes=nc)  # nm=32: decode assumes the released head layout
+    det_vars = jax.jit(det.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, *dims, 3), jnp.float32)
+    )
+    table = RNG.standard_normal((nc + 1, 512)).astype(np.float32)
+
+    pipe = FusedDepthPipeline(
+        model, variables, det, det_vars, table, eval_dims=dims,
+        n_obj_max=n_obj, conf_thres=2.0, det_topk=2,
+    )
+    frames = RNG.integers(0, 256, (2, *dims, 3), dtype=np.uint8)
+    depth = np.asarray(pipe(frames))
+    assert depth.shape == (2, dims[0] // 2, dims[1] // 2, 1)
+    assert np.isfinite(depth).all()
+
+    # direct forward with the reference sentinel (slot 0 = <UNK> embedding)
+    from objcavit_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    x = frames.astype(np.float32) / 255.0
+    normed = (x - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    feats = np.zeros((2, n_obj, 512), np.float32)
+    feats[:, 0] = table[-1]
+    xywh = np.full((2, n_obj, 4), -1.0, np.float32)
+    valid = np.zeros((2, n_obj), bool)
+    valid[:, 0] = True
+    want = np.asarray(
+        model.apply(
+            variables, jnp.asarray(normed), jnp.asarray(feats),
+            jnp.asarray(xywh), jnp.asarray(valid), train=False,
+        )["depth_pred"]
+    )
+    np.testing.assert_allclose(depth, want, rtol=1e-4, atol=1e-4)
