@@ -339,10 +339,12 @@ def _use_se_project_epilogue(block, train: bool, h) -> bool:
     from objcavit_tpu.ops import se_project_pallas as _sp
 
     return (
-        block.fold_bn
+        ((_sp.ENABLE and jax.default_backend() == "tpu") or _sp.INTERPRET)
+        and block.fold_bn
         and not train
-        and _sp.se_project_eligible(h.shape[1], h.shape[2], h.shape[3])
-        and ((_sp.ENABLE and jax.default_backend() == "tpu") or _sp.INTERPRET)
+        and _sp.se_project_eligible(
+            h.shape[1], h.shape[2], h.shape[3], h.dtype.itemsize
+        )
     )
 
 

@@ -40,9 +40,9 @@ INTERPRET = False  # tests flip this to run the kernel on CPU
 ENABLE = False
 
 
-def _tiles(s: int, m: int) -> int:
-    # keep the (T, M) input block comfortably inside VMEM (~4 MB at bf16)
-    budget = 4 * 1024 * 1024 // max(2 * m, 1)
+def _tiles(s: int, m: int, itemsize: int = 2) -> int:
+    # keep the (T, M) input block comfortably inside a ~4 MB VMEM budget
+    budget = 4 * 1024 * 1024 // max(itemsize * m, 1)
     for t in (1024, 512, 256, 128, 64, 32, 16, 8):
         if t <= budget and s % t == 0:
             return t
@@ -55,8 +55,8 @@ def _tiles(s: int, m: int) -> int:
     return 0
 
 
-def se_project_eligible(h: int, w: int, m: int) -> bool:
-    return _tiles(h * w, m) > 0
+def se_project_eligible(h: int, w: int, m: int, itemsize: int = 2) -> bool:
+    return _tiles(h * w, m, itemsize) > 0
 
 
 def _kernel_skip(x_ref, g_ref, w_ref, b_ref, s_ref, o_ref):
@@ -87,8 +87,14 @@ def se_gate_project(
 ) -> jax.Array:
     b, h, w_, m = dw_out.shape
     o = kernel.shape[-1]
+    if skip is not None and skip.dtype != dw_out.dtype:
+        # the unfused path's promotion semantics (project(h) + x) would
+        # differ; require matching dtypes rather than silently diverging
+        raise ValueError(
+            f"skip dtype {skip.dtype} != dw_out dtype {dw_out.dtype}"
+        )
     s = h * w_
-    t = _tiles(s, m)
+    t = _tiles(s, m, dw_out.dtype.itemsize)
     if t == 0:
         raise ValueError(f"no tile for S={s}, M={m}")
     nt = s // t

@@ -29,7 +29,7 @@ def main():
     # (name, H, W, M=expanded, O=out, skip?) from the B5 stage table @480x640
     cases = [
         ("stage0.b1", 240, 320, 24, 24, True),   # ds block dw (in=24 via b1+)
-        ("stage1.b0", 240, 320, 144, 40, False),  # stride-2 first block
+        ("stage1.b0", 120, 160, 144, 40, False),  # stride-2 first block (dw output is /4)
         ("stage1.b1", 120, 160, 240, 40, True),
         ("stage2.b1", 60, 80, 384, 64, True),
         ("stage4.b1", 30, 40, 1056, 176, True),

@@ -53,8 +53,9 @@ def main():
             axis=-1,
         )
         kh, kw, cs, co = kern.shape
-        k2 = jnp.transpose(kern, (0, 1, 2, 3)).reshape(kh, kw * cs, co)
-        k2 = k2[:, None, :, :].reshape(kh, 1, kw * cs, co)
+        # (kh, kw, cs, co) -> (kh, 1, kw*cs, co): kw-major flatten matches
+        # u's channel order (dj*cs + c)
+        k2 = kern.reshape(kh, 1, kw * cs, co)
         return jax.lax.conv_general_dilated(
             u, k2, (1, 1), ((1, 1), (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -35,7 +35,7 @@ def main():
         max_depth=80.0, pos_strategy="learned_bbox_wh",
         dims_train=(352, 704), dims_test=(h, w), dtype=jnp.bfloat16,
     )
-    init_model = GraphBins(**{**kw, "dtype": jnp.bfloat16})
+    init_model = GraphBins(**kw)
     img1 = jnp.zeros((1, h, w, 3), jnp.float32)
     f1 = jnp.zeros((1, n_obj, 512), jnp.float32)
     x1 = jnp.full((1, n_obj, 4), -1.0, jnp.float32)

@@ -76,7 +76,9 @@ def test_fused_conv_bins_depth_batched_matches_unfactored_chain():
     expectation, the associative refold used by bins_head_depth_factored."""
     from objcavit_tpu.ops.pallas_bins import fused_conv_bins_depth_batched
 
-    b, h, w, c, kq, k = 2, 8, 16, 32, 16, 24
+    # h*w = 640 -> t = 128, nt = 5: exercises the multi-tile flat output
+    # indexing (i*nt + j), not just the single-tile case
+    b, h, w, c, kq, k = 2, 8, 80, 32, 16, 24
     feat = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
     queries = jnp.asarray(RNG.standard_normal((b, kq, c)).astype(np.float32))
     kern = jnp.asarray(
