@@ -331,8 +331,8 @@ class ConvBnAct(nn.Module):
 def _use_se_project_epilogue(block, train: bool, h) -> bool:
     """Fused SE-gate + project + skip epilogue eligibility.
 
-    MEASURED NEGATIVE on chip (scripts/ab_se_project.py, bs=96: 0.48-1.04x
-    XLA across the B5 stage shapes) — XLA's unfused mul+conv+add schedule
+    MEASURED NEGATIVE on chip (scripts/ab_se_project.py, bs=96: 0.47-0.91x
+    XLA across the B5 stage shapes, all negative) — XLA's unfused mul+conv+add schedule
     beats the streaming kernel, echoing the fused-MBConv-head result
     (docs/PERF.md). Kept wired for interpreter-mode tests only
     (``se_project_pallas.ENABLE`` flips it on for experiments)."""

@@ -13,8 +13,8 @@ project matmul on the MXU, bias + skip-add in registers, write only the
 (B, H, W, O) output — should win on the HBM-bound early stages.
 
 MEASURED NEGATIVE (scripts/ab_se_project.py, bs=96 B5 stage shapes on a
-v5e chip): 0.48x (stage0, M=24 — the narrow M wastes the 128-lane DMA
-tiling), 0.85-1.04x elsewhere. XLA's unfused schedule overlaps the
+v5e chip): 0.47x (stage0, M=24 — the narrow M wastes the 128-lane DMA
+tiling), 0.70-0.91x elsewhere (all five B5 stage shapes negative). XLA's unfused schedule overlaps the
 elementwise passes with neighbouring convs well enough that the saved
 traffic does not pay, the same conclusion as the fused-MBConv-head
 experiment (docs/PERF.md). Off by default (``ENABLE``); the kernel and its
@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False  # tests flip this to run the kernel on CPU
 # MEASURED NEGATIVE on chip (scripts/ab_se_project.py): XLA's unfused
 # mul+conv+add schedule beats this kernel at every B5 stage shape
-# (0.48-1.04x). Off by default; kept as a documented experiment.
+# (0.47-0.91x, all negative). Off by default; kept as a documented experiment.
 ENABLE = False
 
 
