@@ -102,3 +102,30 @@ def make_embedder(strategy: str, clip_params=None, bpe_path=None,
                 )
         return ClipEmbedder(clip_params, bpe_path)
     raise ValueError(f"Error: Language model {strategy} not recognised")
+
+
+def build_class_table(
+    class_names: Sequence[str],
+    strategy_name: str,
+    embedder,
+) -> np.ndarray:
+    """(num_classes + 1, 512) phrase-embedding table for fused serving.
+
+    Row c embeds class c's phrase under a PER-CLASS language strategy
+    ('none' -> the class name, 'synset_def_wn' -> its WordNet definition,
+    reference ObjectLanguageStrategy.py:139-154); the LAST row embeds the
+    reference's '<UNK>' no-detection sentinel. The pairwise
+    'name_synset_def_wn_rel_sz' strategy depends on the co-detected objects
+    and cannot collapse to a table — use the host-side provider for it.
+    """
+    if strategy_name not in ("none", "synset_def_wn"):
+        raise ValueError(
+            f"strategy {strategy_name!r} is not per-class; the fused "
+            "serving table supports 'none' and 'synset_def_wn'"
+        )
+    from objcavit_tpu.language.strategy import ObjectLanguageStrategy
+
+    strat = ObjectLanguageStrategy(strategy_name)
+    phrases = [strat.phrases_for_image([n], None)[0] for n in class_names]
+    rows = embedder.embed(list(phrases) + ["<UNK>"])
+    return np.asarray(rows, np.float32)

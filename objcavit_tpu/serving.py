@@ -295,3 +295,88 @@ def build_flagship_pipeline(
         variables = fold_batchnorm(variables)
         model = GraphBins(**kw, fold_bn=True)
     return DepthPipeline(model, variables, eval_dims=eval_dims)
+
+
+def build_fused_flagship(
+    dtype=jnp.bfloat16,
+    eval_dims=(480, 640),
+    seed: int = 0,
+    variables=None,  # GraphBins variables (e.g. from a converted checkpoint)
+    yolov7_checkpoint: str | None = None,
+    clip_checkpoint: str | None = None,
+    bpe_path: str | None = None,
+    class_names=None,
+    language_strategy: str = "synset_def_wn",
+    num_classes: int = 1203,
+    n_obj_max: int = 32,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    det_topk: int | None = 128,
+) -> FusedDepthPipeline:
+    """One-call assembly of the fused uint8 -> detections -> depth server.
+
+    Builds the flagship GraphBins-B5 (random init unless ``variables`` is
+    supplied, e.g. from ``utils/torch_import.convert_state_dict``), the
+    YOLOv7-seg detector (weights imported from ``yolov7_checkpoint`` when the
+    asset exists), and the per-class phrase-embedding table
+    (language/embedding.build_class_table; CLIP weights from
+    ``clip_checkpoint`` when present). All three are folded/fused for
+    inference. Per-class strategies only — see build_class_table.
+    """
+    import logging
+    import os
+
+    import jax
+
+    from objcavit_tpu.language.embedding import build_class_table, make_embedder
+    from objcavit_tpu.models.yolov7 import Yolov7Seg
+    from objcavit_tpu.utils.fold_bn import fold_batchnorm
+
+    kw = dict(
+        encoder_name="efficientnet-b5", n_bins=256, min_depth=0.001,
+        max_depth=10.0, pos_strategy="learned_bbox_wh",
+        dims_train=(416, 544), dims_test=eval_dims, dtype=dtype,
+    )
+    model = GraphBins(**kw)
+    if variables is None:
+        h, w = eval_dims
+        img = jnp.zeros((1, h, w, 3), jnp.float32)
+        feats = jnp.zeros((1, n_obj_max, 512), jnp.float32)
+        xywh = jnp.full((1, n_obj_max, 4), -1.0, jnp.float32)
+        valid = jnp.zeros((1, n_obj_max), bool).at[:, 0].set(True)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(seed), img, feats, xywh, valid
+        )
+    folded = fold_batchnorm(variables)
+    fmodel = GraphBins(**kw, fold_bn=True)
+
+    det_init = Yolov7Seg(num_classes=num_classes)
+    if yolov7_checkpoint and os.path.exists(yolov7_checkpoint):
+        from objcavit_tpu.utils.torch_import import load_yolov7_weights
+
+        det_vars = load_yolov7_weights(yolov7_checkpoint, det_init)
+    else:
+        if yolov7_checkpoint:
+            logging.getLogger(__name__).warning(
+                "YOLOv7 checkpoint %s not found — detector runs with RANDOM "
+                "weights (detections are noise, no parity)", yolov7_checkpoint,
+            )
+        h, w = eval_dims
+        det_vars = jax.jit(det_init.init)(
+            jax.random.PRNGKey(seed + 1), jnp.zeros((1, h, w, 3), jnp.float32)
+        )
+    det_params = fold_batchnorm(det_vars)
+    det_model = Yolov7Seg(num_classes=num_classes, dtype=dtype, fold_bn=True)
+
+    if class_names is None:
+        class_names = [f"class_{i}" for i in range(num_classes)]
+    embedder = make_embedder(
+        "clip", bpe_path=bpe_path, clip_checkpoint=clip_checkpoint
+    )
+    table = build_class_table(class_names, language_strategy, embedder)
+
+    return FusedDepthPipeline(
+        fmodel, folded, det_model, det_params, table,
+        eval_dims=eval_dims, n_obj_max=n_obj_max,
+        conf_thres=conf_thres, iou_thres=iou_thres, det_topk=det_topk,
+    )

@@ -69,3 +69,32 @@ def test_zeros_embedder_and_class_count():
     assert e.shape == (2, 512) and (e == 0).all()
     assert get_num_classes("yolov7-seg-lvis-e234.pt") == 1204
     assert get_num_classes("yolov7-seg.pt") == 80
+
+
+def test_build_class_table_shapes_and_unk_row():
+    from objcavit_tpu.language.embedding import ZerosEmbedder, build_class_table
+
+    class _CountingEmbedder(ZerosEmbedder):
+        def embed(self, phrases):
+            import numpy as np
+
+            # deterministic distinct rows keyed by phrase hash
+            return np.stack([
+                np.full(512, (hash(p) % 97) / 97.0, np.float32)
+                for p in phrases
+            ])
+
+    table = build_class_table(["cat", "dog"], "none", _CountingEmbedder())
+    assert table.shape == (3, 512)
+    # last row is the <UNK> sentinel embedding, distinct input phrase
+    import numpy as np
+
+    assert not np.allclose(table[2], table[0]) or not np.allclose(
+        table[2], table[1]
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_class_table(["cat"], "name_synset_def_wn_rel_sz",
+                          _CountingEmbedder())
