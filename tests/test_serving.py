@@ -67,6 +67,81 @@ def test_stream_depth_batches_and_trims():
     assert np.isfinite(total).all()
 
 
+def test_fused_pipeline_with_detections_matches_host_assembly():
+    """End-to-end fused program on the WITH-detections path: a low conf_thres
+    guarantees real NMS survivors from the random-init detector, and the
+    fused output must equal a direct GraphBins forward fed objects assembled
+    by a test-local recomposition of the reference semantics — detector
+    consumes the un-normalised [0,1] frame (Yolov7Wrapper.py:70), depth
+    consumes the ImageNet-normalised one, feats = class-table gather, boxes
+    xyxy->xywh, invalid slots zeroed (complements the sentinel test below,
+    which covers the zero-detection branch)."""
+    from objcavit_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from objcavit_tpu.models.yolov7 import Yolov7Seg, decode_best_sparse
+    from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy, xyxy_to_xywh
+    from objcavit_tpu.serving import FusedDepthPipeline
+
+    dims = (64, 96)
+    n_obj = 4
+    model = GraphBins(
+        encoder_name="efficientnet-tiny", n_bins=16, min_depth=0.001,
+        max_depth=10.0, pos_strategy="learned_bbox_wh",
+        dims_train=dims, dims_test=dims,
+    )
+    img0 = jnp.zeros((1, *dims, 3), jnp.float32)
+    feats0 = jnp.zeros((1, n_obj, 512), jnp.float32)
+    xywh0 = jnp.full((1, n_obj, 4), -1.0, jnp.float32)
+    valid0 = jnp.zeros((1, n_obj), bool).at[:, 0].set(True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), img0, feats0, xywh0, valid0
+    )
+
+    nc = 4
+    det = Yolov7Seg(num_classes=nc)
+    det_vars = jax.jit(det.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, *dims, 3), jnp.float32)
+    )
+    table = RNG.standard_normal((nc + 1, 512)).astype(np.float32)
+
+    conf, iou, topk = 1e-4, 0.45, 8
+    pipe = FusedDepthPipeline(
+        model, variables, det, det_vars, table, eval_dims=dims,
+        n_obj_max=n_obj, conf_thres=conf, iou_thres=iou, det_topk=topk,
+    )
+    frames = RNG.integers(0, 256, (2, *dims, 3), dtype=np.uint8)
+    depth = np.asarray(pipe(frames))
+
+    # --- test-local recomposition of the assembly -------------------------
+    x01 = jnp.asarray(frames.astype(np.float32) / 255.0)  # eval dims already
+    preds, _proto = det.apply(det_vars, x01, train=False, topk_positions=topk)
+    boxes, best, best_cls, _coef = decode_best_sparse(preds, nc)
+    d = batched_nms(
+        xywh_to_xyxy(boxes), best, best_cls, conf, iou,
+        pre_topk=min(256, int(boxes.shape[1])), max_det=n_obj,
+    )
+    valid = np.asarray(d["valid"])
+    assert valid.any(), "test must exercise the real-detection path"
+    xywh = np.asarray(xyxy_to_xywh(d["boxes_xyxy"]))
+    feats = table[np.asarray(d["classes"])] * valid[..., None]
+    # images with no survivors take the reference sentinel
+    none_found = ~valid.any(axis=1)
+    for b in np.where(none_found)[0]:
+        valid[b, 0] = True
+        feats[b, 0] = table[-1]
+        xywh[b, 0] = -1.0
+
+    normed = (np.asarray(x01) - np.asarray(IMAGENET_MEAN)) / np.asarray(
+        IMAGENET_STD
+    )
+    want = np.asarray(
+        model.apply(
+            variables, jnp.asarray(normed), jnp.asarray(feats),
+            jnp.asarray(xywh), jnp.asarray(valid), train=False,
+        )["depth_pred"]
+    )
+    np.testing.assert_allclose(depth, want, rtol=1e-4, atol=1e-4)
+
+
 def test_proto_mask_head_is_dced_from_depth_only_program():
     """The fused serving program discards the detector's proto/mask output
     (serving.py `preds, _proto = ...`); depth needs only boxes + classes.
