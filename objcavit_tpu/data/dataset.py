@@ -92,7 +92,8 @@ class DepthDataset:
             return self.get(idx, rng)
 
         if self.mode == "train":
-            assert depth_raw is not None, f"missing train GT: {depth_path}"
+            if depth_raw is None:  # not assert: must survive python -O
+                raise FileNotFoundError(f"missing train GT: {depth_path}")
             if self.use_old_dl:
                 image, depth = pp.old_dl_train_sample(
                     image_u8, depth_raw, self.dataset, self.dcfg.do_kb_crop,
@@ -144,8 +145,10 @@ class DepthDataset:
             image_path, depth_path, focal = self._paths(line, rng)
             image_u8 = np.asarray(Image.open(image_path).convert("RGB"))
             # mirror get()'s explicit missing-GT failure (the serial path this
-            # claims bit-parity with) instead of a raw PIL FileNotFoundError
-            assert os.path.exists(depth_path), f"missing train GT: {depth_path}"
+            # claims bit-parity with) instead of a raw PIL FileNotFoundError;
+            # not assert: must survive python -O
+            if not os.path.exists(depth_path):
+                raise FileNotFoundError(f"missing train GT: {depth_path}")
             depth_raw = np.asarray(Image.open(depth_path), dtype=np.float32)
             img, dep = pp.old_dl_stage_a(
                 image_u8, depth_raw, self.dataset, self.dcfg.do_kb_crop,

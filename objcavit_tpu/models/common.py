@@ -139,19 +139,25 @@ class ConvParams(nn.Module):
     """Declares a TorchConv-layout (kernel, bias) pair WITHOUT running the
     conv — for heads whose conv fuses into a downstream kernel (the bins
     tail, ops/bins.bins_head_depth). Same param names, shapes, and init as
-    TorchConv so checkpoints and converters are layout-identical."""
+    TorchConv so checkpoints and converters are layout-identical; pass
+    kernel_init/bias_init to preserve a different predecessor's init (e.g.
+    flax nn.Conv's lecun_normal + zeros) without changing the layout."""
 
     features: int
     kernel_size: Sequence[int] = (1, 1)
+    kernel_init: Any = None
+    bias_init: Any = None
 
     @nn.compact
     def __call__(self, in_features: int):
         kh, kw = self.kernel_size
         kernel = self.param(
-            "kernel", torch_kernel_init, (kh, kw, in_features, self.features)
+            "kernel", self.kernel_init or torch_kernel_init,
+            (kh, kw, in_features, self.features),
         )
         bias = self.param(
-            "bias", torch_bias_init_for(kh * kw * in_features), (self.features,)
+            "bias", self.bias_init or torch_bias_init_for(kh * kw * in_features),
+            (self.features,),
         )
         return kernel, bias
 

@@ -406,9 +406,13 @@ class Yolov7Seg(nn.Module):
         )
         preds = []
         for i, o in enumerate((o3, o4, o5)):
-            kernel, bias = ConvParams(3 * no, (1, 1), name=f"detect{i}")(
-                o.shape[-1]
-            )
+            # lecun_normal + zeros preserves the pre-ConvParams nn.Conv init
+            # (zero bias -> sigmoid(0)=0.5 objectness baseline at random init)
+            kernel, bias = ConvParams(
+                3 * no, (1, 1), name=f"detect{i}",
+                kernel_init=nn.initializers.lecun_normal(),
+                bias_init=nn.initializers.zeros,
+            )(o.shape[-1])
             k2 = kernel[0, 0].astype(self.dtype)  # (Cin, 3*no); 1x1 conv = matmul
             bias = bias.astype(self.dtype)
             n, h, w, cin = o.shape

@@ -106,9 +106,7 @@ class DepthPipeline:
         # device_put-with-sharding is only worth its cost with >1 device (and
         # is very slow through the single-chip axon tunnel)
         if self.mesh is not None and self.mesh.devices.size > 1:
-            frames, feats, xywh, valid = shard_batch(
-                self.mesh, (frames, feats, xywh, valid)
-            )
+            spatial_sharding = None
             if self.spatial:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -117,9 +115,21 @@ class DepthPipeline:
                 n_model = self.mesh.shape[MODEL_AXIS]
                 if n_model > 1 and frames.shape[1] % n_model == 0:
                     data = DATA_AXIS if frames.shape[0] % self.mesh.shape[DATA_AXIS] == 0 else None
-                    frames = jax.device_put(
-                        frames, NamedSharding(self.mesh, P(data, MODEL_AXIS))
+                    spatial_sharding = NamedSharding(
+                        self.mesh, P(data, MODEL_AXIS)
                     )
+            if spatial_sharding is not None:
+                # place frames (the largest tensor) directly at their final
+                # sharding — sharding them P(data) first would pay a second
+                # full copy on the latency path
+                frames = jax.device_put(frames, spatial_sharding)
+                feats, xywh, valid = shard_batch(
+                    self.mesh, (feats, xywh, valid)
+                )
+            else:
+                frames, feats, xywh, valid = shard_batch(
+                    self.mesh, (frames, feats, xywh, valid)
+                )
         return self._fns[shape](self.variables, frames, feats, xywh, valid)
 
 
@@ -277,11 +287,9 @@ def build_flagship_pipeline(
     dtype=jnp.bfloat16, eval_dims=(480, 640), seed: int = 0, fold: bool = True
 ) -> DepthPipeline:
     """Flagship GraphBins-B5 pipeline (random init when no weights on disk)."""
-    kw = dict(
-        encoder_name="efficientnet-b5", n_bins=256, min_depth=0.001,
-        max_depth=10.0, pos_strategy="learned_bbox_wh",
-        dims_train=(416, 544), dims_test=eval_dims, dtype=dtype,
-    )
+    from objcavit_tpu.utils.benchkit import flagship_kwargs
+
+    kw = {**flagship_kwargs(), "dims_test": eval_dims, "dtype": dtype}
     model = GraphBins(**kw)
     h, w = eval_dims
     img = jnp.zeros((1, h, w, 3), jnp.float32)
@@ -330,13 +338,10 @@ def build_fused_flagship(
 
     from objcavit_tpu.language.embedding import build_class_table, make_embedder
     from objcavit_tpu.models.yolov7 import Yolov7Seg
+    from objcavit_tpu.utils.benchkit import flagship_kwargs
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
-    kw = dict(
-        encoder_name="efficientnet-b5", n_bins=256, min_depth=0.001,
-        max_depth=10.0, pos_strategy="learned_bbox_wh",
-        dims_train=(416, 544), dims_test=eval_dims, dtype=dtype,
-    )
+    kw = {**flagship_kwargs(), "dims_test": eval_dims, "dtype": dtype}
     model = GraphBins(**kw)
     if variables is None:
         h, w = eval_dims

@@ -161,6 +161,17 @@ def export_artifact(pipeline, path, batch_sizes=(8,), hw=None, *,
         sub = path if len(batch_sizes) == 1 else os.path.join(path, f"b{b}")
         save_artifact(sub, exported, weights, extra_meta=extra_meta)
         dirs.append(sub)
+    if len(batch_sizes) > 1:
+        shared = {
+            "batch_sizes": [int(b) for b in batch_sizes],
+            "dirs": [os.path.basename(d) for d in dirs],
+            "hw": [int(h), int(w)],
+        }
+        shared.update(extra_meta or {})
+        tmp = os.path.join(path, _META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(shared, f, indent=1)
+        os.replace(tmp, os.path.join(path, _META))
     return dirs
 
 

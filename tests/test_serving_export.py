@@ -144,3 +144,24 @@ def test_export_rejects_host_provider_pipeline():
     )
     with pytest.raises(ValueError, match="host-side object provider"):
         export_pipeline(pipe, (1, *DIMS, 3))
+
+
+def test_multi_batch_export_writes_shared_meta(tmp_path):
+    """export_artifact's documented contract: per-size artifacts under
+    path/b{N} plus a shared meta.json indexing them."""
+    import json
+
+    model, variables = _tiny_model()
+    pipe = DepthPipeline(model, variables, eval_dims=DIMS, n_obj_max=N_OBJ,
+                         use_mesh=False)
+    dirs = export_artifact(pipe, str(tmp_path / "art"), batch_sizes=(1, 2),
+                           extra_meta={"note": "x"})
+    assert [d.rsplit("/", 1)[-1] for d in dirs] == ["b1", "b2"]
+    shared = json.loads((tmp_path / "art" / "meta.json").read_text())
+    assert shared["batch_sizes"] == [1, 2]
+    assert shared["dirs"] == ["b1", "b2"]
+    assert shared["hw"] == list(DIMS)
+    assert shared["note"] == "x"
+    art = ServingArtifact.load(tmp_path / "art" / "b2")
+    frames = RNG.integers(0, 256, (2, *DIMS, 3), dtype=np.uint8)
+    assert np.asarray(art(frames)).shape[0] == 2

@@ -185,3 +185,22 @@ def test_sparse_topk_head_full_k_matches_dense_path():
             dists = np.abs(a_rows[:, None, :] - b_rows[None, :, :]).max(-1)
             worst = dists.min(axis=1).max()
             assert worst < 1e-3, f"{tag}: unmatched row, dist {worst}"
+
+
+def test_detect_head_random_init_matches_nn_conv_convention():
+    """The ConvParams detect head must keep flax nn.Conv's init (zero bias ->
+    sigmoid(0)=0.5 objectness baseline at random init), not the torch
+    kaiming-uniform used for imported-weight heads — random-init benches and
+    NMS candidate statistics depend on it."""
+    model = Yolov7Seg(num_classes=4, nm=8)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    params = variables["params"]
+    for i in range(3):
+        bias = np.asarray(params[f"detect{i}"]["bias"])
+        np.testing.assert_array_equal(bias, np.zeros_like(bias))
+        kernel = np.asarray(params[f"detect{i}"]["kernel"], np.float64)
+        fan_in = kernel.shape[0] * kernel.shape[1] * kernel.shape[2]
+        # lecun_normal: std ~= sqrt(1/fan_in) (truncated); kaiming-uniform
+        # would be uniform with std sqrt(1/(3*fan_in)) — distinguishable
+        assert abs(kernel.std() * np.sqrt(fan_in) - 0.88) < 0.15
