@@ -53,6 +53,9 @@ class DepthDataset:
             self.gt_path = self.data_path
 
         self.train_dims = tuple(self.dcfg.dimensions_train)
+        # decode+rotate thread-pool width for get_batch's parallel fast path;
+        # None = one per host core (PNG decode dominates host loading cost)
+        self.decode_threads: int | None = None
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -128,7 +131,12 @@ class DepthDataset:
         crop + augment + normalise + stack (csrc assemble_batch_f32).
 
         RNG draws happen in the exact serial order of repeated ``get`` calls,
-        so the produced batch is bit-identical to the per-sample path.
+        so the produced batch is bit-identical to the per-sample path. When
+        the post-stage-A shape is input-independent (NYU / kb-crop), every
+        RNG draw is hoisted into one serial pass and the RNG-free decode +
+        rotate runs in a thread pool (``decode_threads``, default one per
+        host core) — PNG decode is the host pipeline's dominant cost and the
+        per-sample path caps the feed rate at one core's worth.
         Returns None when the fast path doesn't apply (loader falls back).
         """
         from objcavit_tpu.data import native
@@ -138,8 +146,14 @@ class DepthDataset:
             return None
         from PIL import Image
 
+        n_threads = self.decode_threads or (os.cpu_count() or 1)
+        shape_a = pp.old_dl_stage_a_static_shape(
+            self.dataset, self.dcfg.do_kb_crop
+        )
+        if n_threads > 1 and len(idxs) > 1 and shape_a is not None:
+            return self._get_batch_parallel(idxs, rng, shape_a, n_threads)
+
         images, depths, augs, metas = [], [], [], []
-        h, w = self.train_dims
         for idx in idxs:
             line = self.filenames[int(idx) % len(self.filenames)]
             image_path, depth_path, focal = self._paths(line, rng)
@@ -160,6 +174,60 @@ class DepthDataset:
             images.append(img)
             depths.append(dep)
             metas.append((focal, line.split()[0], line.split()[1]))
+        return self._assemble(images, depths, augs, metas)
+
+    def _get_batch_parallel(self, idxs, rng, shape_a, n_threads):
+        """RNG pass (serial, preserves the per-sample draw order: paths ->
+        rotate angle -> stage-B aug) then decode+rotate fanned out over a
+        thread pool — PIL's PNG decode and C transforms release the GIL."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from PIL import Image
+
+        specs, augs, metas = [], [], []
+        for idx in idxs:
+            line = self.filenames[int(idx) % len(self.filenames)]
+            image_path, depth_path, focal = self._paths(line, rng)
+            angle = None
+            if self.dcfg.do_random_rotate:
+                # the exact draw old_dl_stage_a makes (preprocess.py)
+                angle = (rng.random() - 0.5) * 2 * self.dcfg.degree
+            augs.append(
+                pp.old_dl_draw_aug(self.dataset, shape_a, self.train_dims, rng)
+            )
+            specs.append((image_path, depth_path, angle))
+            metas.append((focal, line.split()[0], line.split()[1]))
+
+        def load(spec):
+            image_path, depth_path, angle = spec
+            image_u8 = np.asarray(Image.open(image_path).convert("RGB"))
+            if not os.path.exists(depth_path):
+                raise FileNotFoundError(f"missing train GT: {depth_path}")
+            depth_raw = np.asarray(Image.open(depth_path), dtype=np.float32)
+            img, dep = pp.old_dl_stage_a_apply(
+                image_u8, depth_raw, self.dataset, self.dcfg.do_kb_crop,
+                angle, self.dcfg.depth_norm_factor,
+            )
+            if img.shape[:2] != shape_a:
+                # the stage-B crop draws above assumed this shape; a
+                # mismatch means non-standard source resolution
+                raise ValueError(
+                    f"{image_path}: post-crop shape {img.shape[:2]} != "
+                    f"expected {shape_a} — non-standard source resolution; "
+                    f"set dataset.decode_threads = 1"
+                )
+            return img, dep
+
+        with ThreadPoolExecutor(n_threads) as ex:
+            loaded = list(ex.map(load, specs))
+        return self._assemble(
+            [x[0] for x in loaded], [x[1] for x in loaded], augs, metas
+        )
+
+    def _assemble(self, images, depths, augs, metas):
+        from objcavit_tpu.data import native
+
+        h, w = self.train_dims
         out_imgs, out_deps = native.assemble_batch(
             images, depths,
             np.asarray([a["crop_yx"] for a in augs], np.int32),

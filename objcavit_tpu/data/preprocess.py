@@ -80,6 +80,24 @@ def old_dl_stage_a(
     PIL rotate, float scaling (dataloader.py:116-165). Stage B (crop +
     flip/gamma/colour/normalise + stack) runs either per-sample below or as
     one threaded native batch pass (native.assemble_batch)."""
+    angle = None
+    if do_random_rotate:
+        angle = (rng.random() - 0.5) * 2 * degree
+    return old_dl_stage_a_apply(
+        image_u8, depth_raw, dataset, do_kb_crop, angle, depth_norm_factor
+    )
+
+
+def old_dl_stage_a_apply(
+    image_u8: np.ndarray,
+    depth_raw: np.ndarray,
+    dataset: str,
+    do_kb_crop: bool,
+    angle: float | None,
+    depth_norm_factor: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stage A with the rotate angle already drawn (RNG-free), so decode +
+    rotate can run in a thread pool while the RNG draws stay serial."""
     image = image_u8
     depth = depth_raw if depth_raw.ndim == 3 else depth_raw[:, :, None]
 
@@ -90,8 +108,7 @@ def old_dl_stage_a(
         image = image[45:472, 43:608]
         depth = depth[45:472, 43:608]
 
-    if do_random_rotate:
-        angle = (rng.random() - 0.5) * 2 * degree
+    if angle is not None:
         image = _pil_rotate(image, angle, nearest=False)
         depth = _pil_rotate(depth, angle, nearest=True)
 
@@ -100,6 +117,18 @@ def old_dl_stage_a(
     image = image.astype(np.float32) / 255.0
     depth = depth.astype(np.float32) / depth_norm_factor
     return image, depth
+
+
+def old_dl_stage_a_static_shape(dataset: str, do_kb_crop: bool):
+    """Post-stage-A (H, W) when it does not depend on the decoded image —
+    kb-crop output is fixed (352, 1216) and the NYU blank-boundary crop of
+    the standard 480x640 source is (427, 565). None = input-dependent
+    (the parallel batch path then falls back to serial stage A)."""
+    if do_kb_crop:
+        return (352, 1216)
+    if dataset == "nyu":
+        return (427, 565)
+    return None
 
 
 def old_dl_draw_aug(

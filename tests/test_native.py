@@ -143,3 +143,75 @@ def test_get_batch_bitwise_matches_serial_get(tmp_path):
     np.testing.assert_array_equal(batch["image"], np.stack(want_imgs))
     np.testing.assert_array_equal(batch["depth"], np.stack(want_deps))
     assert meta["focal"] == [518.8] * 4
+
+
+def _disk_nyu(tmp_path, hw=(480, 640), n=4, train_dims=(32, 48)):
+    from PIL import Image
+
+    from objcavit_tpu.config import Config
+
+    rng = np.random.default_rng(3)
+    img_dir = tmp_path / "nyu" / "sync"
+    img_dir.mkdir(parents=True)
+    lines = []
+    for i in range(n):
+        img = (rng.uniform(0, 255, (*hw, 3))).astype(np.uint8)
+        dep = (rng.uniform(500, 9000, hw)).astype(np.int32)
+        Image.fromarray(img).save(img_dir / f"im{i}.png")
+        Image.fromarray(dep, mode="I").save(img_dir / f"dep{i}.png")
+        lines.append(f"im{i}.png dep{i}.png 518.8")
+    split = tmp_path / "train.txt"
+    split.write_text("\n".join(lines))
+    return Config({
+        "basic": {"dataset": "nyu", "use_adabins_dataloader": True},
+        "paths": {"data_dir": str(tmp_path)},
+        "nyu": {
+            "filenames_file_train": str(split), "filenames_file_eval": str(split),
+            "base_path": "nyu", "train_path": "sync", "eval_path": "sync",
+            "image_norm_factor": 255.0, "depth_norm_factor": 1000.0,
+            "min_depth": 0.001, "max_depth": 10, "do_kb_crop": False,
+            "do_random_rotate": True, "degree": 2.5,
+            "dimensions_train": list(train_dims),
+            "dimensions_test": list(train_dims),
+        },
+    })
+
+
+def test_parallel_decode_batch_bitwise_matches_serial_get(tmp_path):
+    """get_batch's thread-pool decode path (standard 480x640 NYU sources ->
+    static post-crop shape) must be bit-identical to repeated .get with the
+    same RNG stream: the serial RNG pass replays the per-sample draw order
+    (paths -> rotate angle -> stage-B aug) exactly."""
+    from objcavit_tpu.data.dataset import DepthDataset
+
+    ds = DepthDataset(_disk_nyu(tmp_path), "train")
+    ds.decode_threads = 4  # force the parallel branch on 1-core hosts
+
+    idxs = [0, 1, 2, 3, 1]
+    got = ds.get_batch(idxs, np.random.default_rng(11))
+    assert got is not None, "native batch path unavailable"
+    batch, meta = got
+
+    rs = np.random.default_rng(11)
+    want_imgs, want_deps = [], []
+    for i in idxs:
+        s = ds.get(i, rs)
+        want_imgs.append(s["image"])
+        want_deps.append(s["depth"])
+    np.testing.assert_array_equal(batch["image"], np.stack(want_imgs))
+    np.testing.assert_array_equal(batch["depth"], np.stack(want_deps))
+    assert meta["focal"] == [518.8] * 5
+
+
+def test_parallel_decode_rejects_nonstandard_resolution(tmp_path):
+    """The parallel branch draws stage-B crops assuming the standard source
+    resolution; a smaller source must fail loudly, not crop wrongly."""
+    import pytest
+
+    from objcavit_tpu.data.dataset import DepthDataset
+
+    ds = DepthDataset(_disk_nyu(tmp_path, hw=(120, 160), train_dims=(16, 24)),
+                      "train")
+    ds.decode_threads = 4
+    with pytest.raises(ValueError, match="non-standard source resolution"):
+        ds.get_batch([0, 1], np.random.default_rng(0))

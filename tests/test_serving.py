@@ -233,3 +233,68 @@ def test_fused_pipeline_no_detection_sentinel_matches_direct_forward():
         )["depth_pred"]
     )
     np.testing.assert_allclose(depth, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_pipeline_shards_over_data_mesh_and_streams():
+    """Multi-chip fused serving: the same program shards frames over the
+    mesh's data axis (all stages are per-sample independent, so the fused
+    program runs collective-free) and must match the single-device result;
+    stream_depth drives the fused pipeline exactly like DepthPipeline
+    (duck-typed __call__), trimming the padded final batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from objcavit_tpu.models.yolov7 import Yolov7Seg
+    from objcavit_tpu.parallel import make_mesh
+    from objcavit_tpu.parallel.mesh import DATA_AXIS
+    from objcavit_tpu.serving import FusedDepthPipeline, stream_depth
+
+    dims = (64, 96)
+    n_obj = 4
+    model = GraphBins(
+        encoder_name="efficientnet-tiny", n_bins=16, min_depth=0.001,
+        max_depth=10.0, pos_strategy="learned_bbox_wh",
+        dims_train=dims, dims_test=dims,
+    )
+    img0 = jnp.zeros((1, *dims, 3), jnp.float32)
+    feats0 = jnp.zeros((1, n_obj, 512), jnp.float32)
+    xywh0 = jnp.full((1, n_obj, 4), -1.0, jnp.float32)
+    valid0 = jnp.zeros((1, n_obj), bool).at[:, 0].set(True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), img0, feats0, xywh0, valid0
+    )
+    nc = 4
+    det = Yolov7Seg(num_classes=nc)
+    det_vars = jax.jit(det.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, *dims, 3), jnp.float32)
+    )
+    table = RNG.standard_normal((nc + 1, 512)).astype(np.float32)
+    kw = dict(eval_dims=dims, n_obj_max=n_obj, conf_thres=1e-4, det_topk=8)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8, "conftest must provide 8 virtual devices"
+    pipe = FusedDepthPipeline(
+        model, variables, det, det_vars, table, mesh=mesh, **kw
+    )
+    frames = RNG.integers(0, 256, (8, *dims, 3), dtype=np.uint8)
+    sharded = pipe(frames)
+    assert sharded.sharding.is_equivalent_to(
+        NamedSharding(mesh, P(DATA_AXIS)), sharded.ndim
+    )
+
+    single = FusedDepthPipeline(
+        model, variables, det, det_vars, table, use_mesh=False, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single(frames)), rtol=1e-4, atol=1e-4
+    )
+
+    # streaming over the fused pipeline: 11 frames at batch 8 -> 8 + 3(trim)
+    stream = [
+        RNG.integers(0, 256, (*dims, 3), dtype=np.uint8) for _ in range(11)
+    ]
+    got = list(stream_depth(pipe, iter(stream), batch_size=8))
+    assert [d.shape[0] for _, d in got] == [8, 3]
+    total = np.concatenate([d for _, d in got])
+    np.testing.assert_allclose(
+        total[:8], np.asarray(pipe(np.stack(stream[:8]))), rtol=1e-4, atol=1e-4
+    )
