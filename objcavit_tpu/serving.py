@@ -192,6 +192,12 @@ class FusedDepthPipeline:
 
     The last table row is the <UNK> embedding, used for the reference's
     no-detection sentinel (xywh=-1, one valid slot, ObjCAViT.py:310-315).
+
+    ``det_stride=K`` (video keyframe mode) treats the batch as a
+    consecutive-frame clip and runs the detector on every K-th frame only,
+    reusing each keyframe's objects for the frames that follow it — the
+    standard detect-every-Kth-frame pattern for video serving. Default 1 is
+    exact per-frame reference semantics.
     """
 
     def __init__(
@@ -208,6 +214,7 @@ class FusedDepthPipeline:
         det_topk: int | None = 128,
         use_mesh: bool = True,
         mesh=None,
+        det_stride: int = 1,
     ):
         self.model = model
         self.variables = variables
@@ -228,6 +235,14 @@ class FusedDepthPipeline:
         # None = full dense head. 128 positions x 3 anchors x 3 levels = 1152
         # candidate anchors ahead of the usual 256-candidate NMS.
         self.det_topk = det_topk
+        # det_stride: VIDEO keyframe mode — the batch is a consecutive-frame
+        # clip; the detector runs on frames [0, K, 2K, ...] and each
+        # keyframe's objects are reused for the K-1 frames that follow it
+        # (classic detect-every-Kth-frame serving; the detector is ~32% of
+        # the fused program's time). 1 = exact per-frame parity (default).
+        if det_stride < 1:
+            raise ValueError(f"det_stride must be >= 1, got {det_stride}")
+        self.det_stride = det_stride
         self._fns = {}
 
     def _build(self, in_shape):
@@ -237,13 +252,22 @@ class FusedDepthPipeline:
         eh, ew = self.eval_dims
         num_classes = self.class_table.shape[0] - 1
 
+        stride = self.det_stride
+        if stride > 1 and in_shape[0] % stride != 0:
+            raise ValueError(
+                f"video det_stride={stride} needs the clip length divisible "
+                f"by it, got batch {in_shape[0]}"
+            )
+
         def run(variables, det_params, table, frames_u8):
             x01 = frames_u8.astype(jnp.float32) / 255.0
             x01 = resize_bilinear(x01, eh, ew, align_corners=False)
             normed = (x01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
+            # video keyframe mode: detect on every stride-th frame only
+            x_det = x01[::stride] if stride > 1 else x01
             preds, _proto = self.detector_model.apply(
-                det_params, x01, train=False, topk_positions=self.det_topk
+                det_params, x_det, train=False, topk_positions=self.det_topk
             )
             if self.det_topk is None:
                 boxes, best, best_cls, _coef = decode_best(preds, num_classes)
@@ -273,6 +297,12 @@ class FusedDepthPipeline:
                 (slot0 & none_found[:, None])[..., None],
                 jnp.full_like(xywh, -1.0), xywh,
             )
+
+            if stride > 1:
+                # each keyframe's objects serve the stride-1 frames after it
+                feats = jnp.repeat(feats, stride, axis=0)
+                xywh = jnp.repeat(xywh, stride, axis=0)
+                valid = jnp.repeat(valid, stride, axis=0)
 
             out = self.model.apply(variables, normed, feats, xywh, valid,
                                    train=False)
@@ -331,6 +361,7 @@ def build_fused_flagship(
     conf_thres: float = 0.25,
     iou_thres: float = 0.45,
     det_topk: int | None = 128,
+    det_stride: int = 1,
 ) -> FusedDepthPipeline:
     """One-call assembly of the fused uint8 -> detections -> depth server.
 
@@ -395,4 +426,5 @@ def build_fused_flagship(
         fmodel, folded, det_model, det_params, table,
         eval_dims=eval_dims, n_obj_max=n_obj_max,
         conf_thres=conf_thres, iou_thres=iou_thres, det_topk=det_topk,
+        det_stride=det_stride,
     )

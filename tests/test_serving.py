@@ -298,3 +298,81 @@ def test_fused_pipeline_shards_over_data_mesh_and_streams():
     np.testing.assert_allclose(
         total[:8], np.asarray(pipe(np.stack(stream[:8]))), rtol=1e-4, atol=1e-4
     )
+
+
+def test_video_det_stride_keyframe_semantics():
+    """det_stride=2: even frames are keyframes (their depth must equal the
+    exact stride=1 result); odd frames reuse the preceding keyframe's
+    objects (pinned against a direct GraphBins forward fed the keyframe's
+    recomposed detections). Non-divisible clip lengths fail loudly."""
+    from objcavit_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from objcavit_tpu.models.yolov7 import Yolov7Seg, decode_best_sparse
+    from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy, xyxy_to_xywh
+    from objcavit_tpu.serving import FusedDepthPipeline
+
+    dims = (64, 96)
+    n_obj = 4
+    model = GraphBins(
+        encoder_name="efficientnet-tiny", n_bins=16, min_depth=0.001,
+        max_depth=10.0, pos_strategy="learned_bbox_wh",
+        dims_train=dims, dims_test=dims,
+    )
+    img0 = jnp.zeros((1, *dims, 3), jnp.float32)
+    feats0 = jnp.zeros((1, n_obj, 512), jnp.float32)
+    xywh0 = jnp.full((1, n_obj, 4), -1.0, jnp.float32)
+    valid0 = jnp.zeros((1, n_obj), bool).at[:, 0].set(True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), img0, feats0, xywh0, valid0
+    )
+    nc = 4
+    det = Yolov7Seg(num_classes=nc)
+    det_vars = jax.jit(det.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, *dims, 3), jnp.float32)
+    )
+    table = RNG.standard_normal((nc + 1, 512)).astype(np.float32)
+    conf, iou, topk = 1e-4, 0.45, 8
+    kw = dict(eval_dims=dims, n_obj_max=n_obj, conf_thres=conf,
+              iou_thres=iou, det_topk=topk, use_mesh=False)
+
+    frames = RNG.integers(0, 256, (4, *dims, 3), dtype=np.uint8)
+    exact = np.asarray(
+        FusedDepthPipeline(model, variables, det, det_vars, table, **kw)(frames)
+    )
+    video = FusedDepthPipeline(
+        model, variables, det, det_vars, table, det_stride=2, **kw
+    )
+    got = np.asarray(video(frames))
+
+    # keyframes detect on themselves -> identical to the exact pipeline
+    np.testing.assert_allclose(got[0::2], exact[0::2], rtol=1e-4, atol=1e-4)
+
+    # odd frames: depth(frame_i, objects(frame_{i-1})), recomposed directly
+    x01 = jnp.asarray(frames.astype(np.float32) / 255.0)
+    preds, _p = det.apply(det_vars, x01[0::2], train=False,
+                          topk_positions=topk)
+    boxes, best, best_cls, _c = decode_best_sparse(preds, nc)
+    d = batched_nms(
+        xywh_to_xyxy(boxes), best, best_cls, conf, iou,
+        pre_topk=min(256, int(boxes.shape[1])), max_det=n_obj,
+    )
+    valid = np.asarray(d["valid"])
+    assert valid.any(), "test must exercise the real-detection path"
+    xywh = np.asarray(xyxy_to_xywh(d["boxes_xyxy"]))
+    feats = table[np.asarray(d["classes"])] * valid[..., None]
+    for b in np.where(~valid.any(axis=1))[0]:
+        valid[b, 0] = True
+        feats[b, 0] = table[-1]
+        xywh[b, 0] = -1.0
+    normed = (np.asarray(x01) - np.asarray(IMAGENET_MEAN)) / np.asarray(
+        IMAGENET_STD
+    )
+    want_odd = np.asarray(
+        model.apply(
+            variables, jnp.asarray(normed[1::2]), jnp.asarray(feats),
+            jnp.asarray(xywh), jnp.asarray(valid), train=False,
+        )["depth_pred"]
+    )
+    np.testing.assert_allclose(got[1::2], want_odd, rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError, match="divisible"):
+        video(frames[:3])
