@@ -198,6 +198,14 @@ class FusedDepthPipeline:
     reusing each keyframe's objects for the frames that follow it — the
     standard detect-every-Kth-frame pattern for video serving. Default 1 is
     exact per-frame reference semantics.
+
+    ``det_scale=s`` (reduced-resolution detection) runs the frozen detector
+    on an s-scaled copy of each frame (dims snapped to the stride-32 grid the
+    detector requires) and rescales the kept boxes back to eval-image pixels
+    before they feed the positional embeddings — the standard small-detector
+    serving knob. Depth always runs at full eval resolution; only detection
+    granularity is relaxed. Default 1.0 is the reference's full-resolution
+    detection (Yolov7Wrapper.py:86).
     """
 
     def __init__(
@@ -215,6 +223,7 @@ class FusedDepthPipeline:
         use_mesh: bool = True,
         mesh=None,
         det_stride: int = 1,
+        det_scale: float = 1.0,
     ):
         self.model = model
         self.variables = variables
@@ -243,6 +252,12 @@ class FusedDepthPipeline:
         if det_stride < 1:
             raise ValueError(f"det_stride must be >= 1, got {det_stride}")
         self.det_stride = det_stride
+        # det_scale: detector input = eval dims scaled by this factor and
+        # snapped to the detector's stride-32 grid; kept boxes rescale back
+        # to eval-image pixels. 1.0 = full-resolution detection (default).
+        if not 0.0 < det_scale <= 1.0:
+            raise ValueError(f"det_scale must be in (0, 1], got {det_scale}")
+        self.det_scale = float(det_scale)
         self._fns = {}
 
     def _build(self, in_shape):
@@ -259,6 +274,14 @@ class FusedDepthPipeline:
                 f"by it, got batch {in_shape[0]}"
             )
 
+        # reduced-resolution detection: snap the scaled dims to the
+        # detector's stride-32 grid (YOLOv7's deepest feature stride)
+        if self.det_scale != 1.0:
+            dh = max(32, int(round(eh * self.det_scale / 32)) * 32)
+            dw = max(32, int(round(ew * self.det_scale / 32)) * 32)
+        else:
+            dh, dw = eh, ew
+
         def run(variables, det_params, table, frames_u8):
             x01 = frames_u8.astype(jnp.float32) / 255.0
             x01 = resize_bilinear(x01, eh, ew, align_corners=False)
@@ -266,6 +289,8 @@ class FusedDepthPipeline:
 
             # video keyframe mode: detect on every stride-th frame only
             x_det = x01[::stride] if stride > 1 else x01
+            if (dh, dw) != (eh, ew):
+                x_det = resize_bilinear(x_det, dh, dw, align_corners=False)
             preds, _proto = self.detector_model.apply(
                 det_params, x_det, train=False, topk_positions=self.det_topk
             )
@@ -281,7 +306,14 @@ class FusedDepthPipeline:
                 pre_topk=min(256, int(boxes.shape[1])),
                 max_det=self.n_obj_max,
             )
-            xywh = xyxy_to_xywh(det["boxes_xyxy"])
+            bx = det["boxes_xyxy"]
+            if (dh, dw) != (eh, ew):
+                # boxes are in detector-input pixels; rescale to eval pixels
+                # (NMS already ran — IoU is computed in the detector frame)
+                bx = bx * jnp.asarray(
+                    [ew / dw, eh / dh, ew / dw, eh / dh], bx.dtype
+                )
+            xywh = xyxy_to_xywh(bx)
             valid = det["valid"]
             feats = table[det["classes"]] * valid[..., None]
 
@@ -362,6 +394,7 @@ def build_fused_flagship(
     iou_thres: float = 0.45,
     det_topk: int | None = 128,
     det_stride: int = 1,
+    det_scale: float = 1.0,
 ) -> FusedDepthPipeline:
     """One-call assembly of the fused uint8 -> detections -> depth server.
 
@@ -426,5 +459,5 @@ def build_fused_flagship(
         fmodel, folded, det_model, det_params, table,
         eval_dims=eval_dims, n_obj_max=n_obj_max,
         conf_thres=conf_thres, iou_thres=iou_thres, det_topk=det_topk,
-        det_stride=det_stride,
+        det_stride=det_stride, det_scale=det_scale,
     )

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Reduced-resolution detection (det_scale) throughput on the real chip.
+
+FusedDepthPipeline(det_scale=s) runs the frozen detector on an s-scaled,
+stride-32-snapped copy of each frame and rescales the kept boxes back to
+eval pixels (serving.py). Depth always runs at full eval resolution. The
+detector is ~32% of the exact fused program's time and its conv FLOPs scale
+with the pixel count, so s=0.5 should recover most of that share. This
+measures the real thing at the serving-optimal batch.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from objcavit_tpu.utils.jit_cache import enable as _enable_cache
+
+    _enable_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from objcavit_tpu.models import GraphBins
+    from objcavit_tpu.models.yolov7 import Yolov7Seg
+    from objcavit_tpu.serving import FusedDepthPipeline
+    from objcavit_tpu.utils.benchkit import (
+        V5E_BF16_PEAK_TFLOPS,
+        best_of,
+        flagship_kwargs,
+        flops_of_compiled,
+    )
+    from objcavit_tpu.utils.fold_bn import fold_batchnorm
+
+    batch, h, w, n_obj = 128, 480, 640, 32
+    num_classes = 1203
+    rng = np.random.default_rng(0)
+
+    kw = flagship_kwargs()
+    model = GraphBins(**kw)
+    img = jnp.zeros((1, h, w, 3), jnp.float32)
+    feats = jnp.zeros((1, n_obj, 512), jnp.float32)
+    xywh = jnp.full((1, n_obj, 4), -1.0, jnp.float32)
+    valid = jnp.zeros((1, n_obj), bool).at[:, 0].set(True)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, feats, xywh, valid)
+    folded = fold_batchnorm(variables)
+    fmodel = GraphBins(**kw, fold_bn=True)
+
+    det_init = Yolov7Seg(num_classes=num_classes)
+    det_vars = jax.jit(det_init.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, h, w, 3), jnp.float32)
+    )
+    det_params = fold_batchnorm(det_vars)
+    det_model = Yolov7Seg(num_classes=num_classes, dtype=jnp.bfloat16,
+                          fold_bn=True)
+    table = rng.standard_normal((num_classes + 1, 512)).astype(np.float32)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8)
+    )
+
+    out_holder = {}
+    for scale in (1.0, 0.75, 0.5):
+        pipe = FusedDepthPipeline(
+            fmodel, folded, det_model, det_params, table,
+            eval_dims=(h, w), n_obj_max=n_obj, det_scale=scale,
+        )
+        shape = tuple(frames.shape)
+        fn = pipe._fns.setdefault(shape, pipe._build(shape))
+        c = fn.lower(
+            pipe.variables, pipe.detector_params, pipe.class_table, frames
+        ).compile()
+        fl = flops_of_compiled(c)
+
+        def run():
+            out_holder["o"] = c(
+                pipe.variables, pipe.detector_params, pipe.class_table, frames
+            )
+            return out_holder["o"]
+
+        def sync(_=None):
+            float(jnp.sum(out_holder["o"]))
+
+        dt = best_of(run, sync, n_iter=8)
+        mfu = fl / dt / 1e12 / V5E_BF16_PEAK_TFLOPS * 100
+        dh = max(32, int(round(h * scale / 32)) * 32)
+        dw = max(32, int(round(w * scale / 32)) * 32)
+        print(
+            f"det_scale={scale} (det at {dh}x{dw}): {batch / dt:7.1f} img/s  "
+            f"({fl / batch / 1e9:5.1f} GFLOPs/img, {mfu:4.1f}% MFU, "
+            f"vs 250: {batch / dt / 250:5.3f}x)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

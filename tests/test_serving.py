@@ -376,3 +376,83 @@ def test_video_det_stride_keyframe_semantics():
 
     with pytest.raises(ValueError, match="divisible"):
         video(frames[:3])
+
+
+def test_det_scale_reduced_resolution_detection_semantics():
+    """det_scale=0.5: the detector sees a stride-32-snapped half-resolution
+    copy and the kept boxes rescale back to eval pixels — pinned against a
+    direct recomposition (resize -> detect -> NMS -> scale boxes -> depth).
+    Depth itself always runs at full eval resolution."""
+    from objcavit_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from objcavit_tpu.models.yolov7 import Yolov7Seg, decode_best_sparse
+    from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy, xyxy_to_xywh
+    from objcavit_tpu.ops.resize import resize_bilinear
+    from objcavit_tpu.serving import FusedDepthPipeline
+
+    dims = (64, 96)
+    n_obj = 4
+    model = GraphBins(
+        encoder_name="efficientnet-tiny", n_bins=16, min_depth=0.001,
+        max_depth=10.0, pos_strategy="learned_bbox_wh",
+        dims_train=dims, dims_test=dims,
+    )
+    img0 = jnp.zeros((1, *dims, 3), jnp.float32)
+    feats0 = jnp.zeros((1, n_obj, 512), jnp.float32)
+    xywh0 = jnp.full((1, n_obj, 4), -1.0, jnp.float32)
+    valid0 = jnp.zeros((1, n_obj), bool).at[:, 0].set(True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), img0, feats0, xywh0, valid0
+    )
+    nc = 4
+    det = Yolov7Seg(num_classes=nc)
+    # detector params are resolution-independent; init at the scaled dims
+    det_vars = jax.jit(det.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, *dims, 3), jnp.float32)
+    )
+    table = RNG.standard_normal((nc + 1, 512)).astype(np.float32)
+    conf, iou, topk = 1e-4, 0.45, 8
+    kw = dict(eval_dims=dims, n_obj_max=n_obj, conf_thres=conf,
+              iou_thres=iou, det_topk=topk, use_mesh=False)
+
+    frames = RNG.integers(0, 256, (4, *dims, 3), dtype=np.uint8)
+    pipe = FusedDepthPipeline(
+        model, variables, det, det_vars, table, det_scale=0.5, **kw
+    )
+    got = np.asarray(pipe(frames))
+
+    # recompose: (64, 96) * 0.5 snapped to /32 -> (32, 64)
+    dh, dw = 32, 64
+    x01 = jnp.asarray(frames.astype(np.float32) / 255.0)
+    x_det = resize_bilinear(x01, dh, dw, align_corners=False)
+    preds, _p = det.apply(det_vars, x_det, train=False, topk_positions=topk)
+    boxes, best, best_cls, _c = decode_best_sparse(preds, nc)
+    d = batched_nms(
+        xywh_to_xyxy(boxes), best, best_cls, conf, iou,
+        pre_topk=min(256, int(boxes.shape[1])), max_det=n_obj,
+    )
+    valid = np.asarray(d["valid"])
+    assert valid.any(), "test must exercise the real-detection path"
+    bx = np.asarray(d["boxes_xyxy"]) * np.asarray(
+        [dims[1] / dw, dims[0] / dh, dims[1] / dw, dims[0] / dh], np.float32
+    )
+    xywh = np.asarray(xyxy_to_xywh(jnp.asarray(bx)))
+    feats = table[np.asarray(d["classes"])] * valid[..., None]
+    for b in np.where(~valid.any(axis=1))[0]:
+        valid[b, 0] = True
+        feats[b, 0] = table[-1]
+        xywh[b, 0] = -1.0
+    normed = (np.asarray(x01) - np.asarray(IMAGENET_MEAN)) / np.asarray(
+        IMAGENET_STD
+    )
+    want = np.asarray(
+        model.apply(
+            variables, jnp.asarray(normed), jnp.asarray(feats),
+            jnp.asarray(xywh), jnp.asarray(valid), train=False,
+        )["depth_pred"]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError, match="det_scale"):
+        FusedDepthPipeline(
+            model, variables, det, det_vars, table, det_scale=1.5, **kw
+        )
