@@ -606,7 +606,8 @@ class Yolov7SegDetector:
                 out = batched_nms(
                     xywh_to_xyxy(boxes), best, best_cls,
                     self.conf_thres, self.iou_thres,
-                    pre_topk=256, max_det=self.max_det,
+                    pre_topk=min(256, int(boxes.shape[1])),
+                    max_det=self.max_det,
                     agnostic=self.agnostic,
                 )
                 out["xywh"] = xyxy_to_xywh(out.pop("boxes_xyxy"))

@@ -11,8 +11,10 @@ needs static shapes, so this NMS is:
      serialized scalar steps,
   4. a padded (max_det,) result with a validity mask.
 
-Class-aware suppression uses the standard trick of offsetting boxes by
-class_id * offset so different classes never overlap (agnostic=False).
+Class-aware suppression (agnostic=False) masks the IoU matrix to same-class
+pairs — exactly equivalent to yolov7's class_id*max_wh box-offset trick but
+without its float32 hazard (offsets for class ids >= ~1092 of LVIS's 1203
+exceed 2^23, where fp32 spacing is 1px, quantising small-box IoU).
 Semantics match yolov7's NMS for the regimes that matter (conf/iou
 thresholds, class-aware, max_det cap); ties differ only at fp-equal scores.
 """
@@ -23,8 +25,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-
-_CLASS_OFFSET = 7680.0  # > any image dimension used (yolov7 uses max_wh=7680)
 
 
 def _iou_matrix(boxes: jax.Array) -> jax.Array:
@@ -96,12 +96,10 @@ def batched_nms(
         top_boxes = boxes[idx]
         top_cls = cls[idx]
 
-        nms_boxes = top_boxes
+        iou = _iou_matrix(top_boxes)
         if not agnostic:
-            nms_boxes = top_boxes + (top_cls.astype(jnp.float32) * _CLASS_OFFSET)[
-                :, None
-            ]
-        iou = _iou_matrix(nms_boxes)
+            # class-aware: only same-class detections suppress each other
+            iou = jnp.where(top_cls[:, None] == top_cls[None, :], iou, 0.0)
 
         cand = top_score > 0.0
         keep = _greedy_keep(iou, cand, iou_thres)

@@ -16,8 +16,6 @@ program is latency-optimal (one dispatch per frame batch).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +40,7 @@ class DepthPipeline:
         provider=None,
         spatial: bool = False,
         mesh=None,
+        unk_feature=None,
     ):
         self.model = model
         self.variables = variables
@@ -58,14 +57,28 @@ class DepthPipeline:
         # where pure batch sharding leaves chips idle (e.g. the reference's
         # bs=1 eval protocol, main.py:58, on a v5e-8).
         self.spatial = spatial
+        # no-detection sentinel feature: the reference uses the <UNK> CLIP
+        # embedding (ObjCAViT.py:310-315). Checkpoints trained with a CLIP
+        # language strategy should pass it (embedder.embed(["<UNK>"])[0]);
+        # the zeros default matches only the 'control_obj_zeros_512' ablation.
+        self.unk_feature = (
+            None if unk_feature is None
+            else jnp.asarray(unk_feature, jnp.float32)
+        )
         self._fns = {}
+        # per-instance cache (an lru_cache on the method would key on `self`
+        # in a class-global cache and pin the pipeline's weights forever)
+        self._sentinels = {}
 
-    @functools.lru_cache(maxsize=8)
     def _sentinel_objects(self, b: int):
-        xywh = jnp.full((b, self.n_obj_max, 4), -1.0, jnp.float32)
-        valid = jnp.zeros((b, self.n_obj_max), bool).at[:, 0].set(True)
-        feats = jnp.zeros((b, self.n_obj_max, 512), jnp.float32)
-        return feats, xywh, valid
+        if b not in self._sentinels:
+            xywh = jnp.full((b, self.n_obj_max, 4), -1.0, jnp.float32)
+            valid = jnp.zeros((b, self.n_obj_max), bool).at[:, 0].set(True)
+            feats = jnp.zeros((b, self.n_obj_max, 512), jnp.float32)
+            if self.unk_feature is not None:
+                feats = feats.at[:, 0].set(self.unk_feature)
+            self._sentinels[b] = (feats, xywh, valid)
+        return self._sentinels[b]
 
     def _build(self, in_shape):
         eh, ew = self.eval_dims
@@ -96,7 +109,20 @@ class DepthPipeline:
             self._fns[shape] = self._build(shape)
         b = shape[0]
         if self.provider is not None:
-            objs = self.provider(np.asarray(frames_u8, np.float32) / 255.0)
+            # providers take ImageNet-NORMALISED eval-resolution images (the
+            # GraphBins.forward contract, see language/provider.py and
+            # training/providers.py) and return xywh in eval-image pixels —
+            # the frame ObjCAViT expects. Mirror the device program's own
+            # resize+normalise so detections see the same pixels depth does.
+            x01 = jnp.asarray(frames_u8).astype(jnp.float32) / 255.0
+            if shape[1:3] != self.eval_dims:
+                x01 = resize_bilinear(
+                    x01, *self.eval_dims, align_corners=False
+                )
+            normed = (x01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
+                IMAGENET_STD
+            )
+            objs = self.provider(np.asarray(normed))
             feats = jnp.asarray(objs["features"])
             xywh = jnp.asarray(objs["xywh"])
             valid = jnp.asarray(objs["valid"])
@@ -144,6 +170,19 @@ def stream_depth(pipeline: DepthPipeline, frames_iter, batch_size: int = 8):
 
     q: queue.Queue = queue.Queue(maxsize=2)
     stop = object()
+    cancelled = threading.Event()  # set when the consumer abandons the gen
+
+    def put(item) -> bool:
+        # bounded put that gives up once the generator is closed, so an
+        # abandoned stream doesn't park this thread (and its frame buffers
+        # + the open frames_iter) on a full queue forever
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                pass
+        return False
 
     def feeder():
         try:
@@ -151,33 +190,38 @@ def stream_depth(pipeline: DepthPipeline, frames_iter, batch_size: int = 8):
             for frame in frames_iter:
                 buf.append(frame)
                 if len(buf) == batch_size:
-                    q.put((np.stack(buf), batch_size))
+                    if not put((np.stack(buf), batch_size)):
+                        return
                     buf = []
             if buf:
                 n = len(buf)
                 pad = [np.zeros_like(buf[0])] * (batch_size - n)
-                q.put((np.stack(buf + pad), n))
-            q.put(stop)
+                if not put((np.stack(buf + pad), n)):
+                    return
+            put(stop)
         except BaseException as e:
-            q.put(e)
+            put(e)
 
     threading.Thread(target=feeder, daemon=True).start()
     pending = None  # (frames, n, depth-in-flight)
-    while True:
-        item = q.get()
-        if isinstance(item, BaseException):
-            raise item
-        if item is stop:
-            break
-        frames, n = item
-        depth = pipeline(frames)  # async dispatch; overlaps with next decode
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            if item is stop:
+                break
+            frames, n = item
+            depth = pipeline(frames)  # async dispatch; overlaps next decode
+            if pending is not None:
+                pf, pn, pd = pending
+                yield pf[:pn], np.asarray(pd)[:pn]
+            pending = (frames, n, depth)
         if pending is not None:
             pf, pn, pd = pending
             yield pf[:pn], np.asarray(pd)[:pn]
-        pending = (frames, n, depth)
-    if pending is not None:
-        pf, pn, pd = pending
-        yield pf[:pn], np.asarray(pd)[:pn]
+    finally:
+        cancelled.set()
 
 
 class FusedDepthPipeline:
@@ -230,6 +274,16 @@ class FusedDepthPipeline:
         self.detector_model = detector_model
         self.detector_params = detector_params
         self.class_table = jnp.asarray(class_table, jnp.float32)
+        # the decode slice p[..., 5:5+nc] is derived from the table's row
+        # count; a mismatch with the detector head would silently clamp the
+        # slice and consume mask coefficients as class logits
+        nc_det = getattr(detector_model, "num_classes", None)
+        if nc_det is not None and nc_det != self.class_table.shape[0] - 1:
+            raise ValueError(
+                f"class_table has {self.class_table.shape[0]} rows (classes "
+                f"+ <UNK>) but the detector head has {nc_det} classes — "
+                f"expected {nc_det + 1} rows"
+            )
         self.eval_dims = eval_dims
         self.n_obj_max = n_obj_max
         self.conf_thres = conf_thres

@@ -184,7 +184,10 @@ class ServingArtifact:
 
     def __init__(self, exported, weights, meta):
         self.exported = exported
-        self.weights = weights
+        # put the restored (host numpy) weight pytree on device ONCE —
+        # passing numpy leaves to the jitted call would re-transfer the
+        # whole weight set host->device on every inference batch
+        self.weights = jax.device_put(weights)
         self.meta = meta
         self._jitted = jax.jit(exported.call)
 

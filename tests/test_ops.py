@@ -203,3 +203,80 @@ def test_greedy_keep_fixed_point_matches_serial_nms():
     all_c = np.ones(8, bool)
     got = np.asarray(_greedy_keep(jnp.asarray(iou8), jnp.asarray(all_c), 0.5))
     assert got.tolist() == [True] + [False] * 7
+
+
+def test_class_aware_nms_matches_per_class_serial_reference():
+    """Class-aware batched_nms (same-class IoU masking) must match running
+    the textbook greedy scan independently per class — including HIGH class
+    ids (LVIS ~1200) with small boxes, the regime where the classic
+    class_id*max_wh coordinate-offset trick loses IoU exactness to fp32
+    quantisation. Agnostic mode must suppress across classes."""
+    from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy
+
+    rng = np.random.default_rng(7)
+    a = 96
+    # small boxes (4-10 px) in overlapping clusters; classes drawn from a
+    # set that includes ids near the LVIS top end
+    class_ids = np.asarray([0, 3, 1092, 1199, 1202])
+    centres = rng.uniform(20, 120, (6, 2))
+    c = centres[rng.integers(0, 6, a)] + rng.normal(0, 3, (a, 2))
+    wh = rng.uniform(4, 10, (a, 2))
+    xywh = np.concatenate([c, wh], 1).astype(np.float32)
+    xyxy = np.asarray(xywh_to_xyxy(jnp.asarray(xywh)))
+    scores = rng.uniform(0.3, 1.0, a).astype(np.float32)
+    cls = class_ids[rng.integers(0, len(class_ids), a)].astype(np.int32)
+    conf, thr, max_det = 0.25, 0.45, 32
+
+    def iou_np(b1, b2):
+        ix1 = np.maximum(b1[0], b2[0]); iy1 = np.maximum(b1[1], b2[1])
+        ix2 = np.minimum(b1[2], b2[2]); iy2 = np.minimum(b1[3], b2[3])
+        inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+        a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+        a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+        return inter / max(a1 + a2 - inter, 1e-9)
+
+    def serial_reference(agnostic):
+        order = np.argsort(-scores)
+        kept = []
+        for i in order:
+            if scores[i] < conf:
+                continue
+            if any(
+                (agnostic or cls[j] == cls[i])
+                and iou_np(xyxy[i], xyxy[j]) > thr
+                for j in kept
+            ):
+                continue
+            kept.append(i)
+        kept = kept[:max_det]
+        return {
+            "boxes": xyxy[kept], "scores": scores[kept], "classes": cls[kept]
+        }
+
+    for agnostic in (False, True):
+        got = batched_nms(
+            jnp.asarray(xyxy)[None], jnp.asarray(scores)[None],
+            jnp.asarray(cls)[None], conf, thr,
+            pre_topk=a, max_det=max_det, agnostic=agnostic,
+        )
+        want = serial_reference(agnostic)
+        n = int(np.asarray(got["valid"])[0].sum())
+        assert n == len(want["scores"]), f"agnostic={agnostic}"
+        np.testing.assert_allclose(
+            np.asarray(got["boxes_xyxy"])[0, :n], want["boxes"], rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["classes"])[0, :n], want["classes"]
+        )
+    # the two modes must actually differ on this data (cross-class overlap);
+    # compare uncapped so max_det doesn't mask the difference
+    n_cls = int(np.asarray(batched_nms(
+        jnp.asarray(xyxy)[None], jnp.asarray(scores)[None],
+        jnp.asarray(cls)[None], conf, thr, pre_topk=a, max_det=a,
+    )["valid"]).sum())
+    n_agn = int(np.asarray(batched_nms(
+        jnp.asarray(xyxy)[None], jnp.asarray(scores)[None],
+        jnp.asarray(cls)[None], conf, thr, pre_topk=a, max_det=a,
+        agnostic=True,
+    )["valid"]).sum())
+    assert n_agn < n_cls, "agnostic mode must suppress across classes"

@@ -456,3 +456,89 @@ def test_det_scale_reduced_resolution_detection_semantics():
         FusedDepthPipeline(
             model, variables, det, det_vars, table, det_scale=1.5, **kw
         )
+
+
+def test_depth_pipeline_provider_contract_and_unk_sentinel():
+    """The host provider must receive ImageNet-NORMALISED EVAL-RESOLUTION
+    images (the GraphBins.forward / language/provider.py contract) so its
+    xywh land in eval pixels, and the pipeline's depth must equal a direct
+    forward fed the provider's objects. With no provider, the no-detection
+    sentinel uses the supplied <UNK> feature (reference ObjCAViT.py:310-315)."""
+    from objcavit_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from objcavit_tpu.ops.resize import resize_bilinear
+
+    dims = (64, 96)
+    n_obj = 4
+    model = GraphBins(
+        encoder_name="efficientnet-tiny", n_bins=16, min_depth=0.001,
+        max_depth=10.0, pos_strategy="learned_bbox_wh",
+        dims_train=dims, dims_test=dims,
+    )
+    img0 = jnp.zeros((1, *dims, 3), jnp.float32)
+    feats0 = jnp.zeros((1, n_obj, 512), jnp.float32)
+    xywh0 = jnp.full((1, n_obj, 4), -1.0, jnp.float32)
+    valid0 = jnp.zeros((1, n_obj), bool).at[:, 0].set(True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), img0, feats0, xywh0, valid0
+    )
+
+    seen = {}
+    objs = {
+        "features": RNG.standard_normal((2, n_obj, 512)).astype(np.float32),
+        "xywh": np.asarray(
+            [[[20, 30, 10, 12], [50, 20, 8, 8], [-1] * 4, [-1] * 4]] * 2,
+            np.float32,
+        ),
+        "valid": np.asarray([[True, True, False, False]] * 2),
+    }
+
+    def provider(images):
+        seen["x"] = np.asarray(images)
+        return objs
+
+    pipe = DepthPipeline(
+        model, variables, eval_dims=dims, n_obj_max=n_obj,
+        use_mesh=False, provider=provider,
+    )
+    # source frames at a DIFFERENT resolution than eval dims
+    frames = RNG.integers(0, 256, (2, 120, 160, 3), dtype=np.uint8)
+    depth = np.asarray(pipe(frames))
+
+    # provider input: resize-to-eval then ImageNet-normalise, matching the
+    # device program's own preprocessing
+    x01 = resize_bilinear(
+        jnp.asarray(frames, jnp.float32) / 255.0, *dims, align_corners=False
+    )
+    normed = (np.asarray(x01) - np.asarray(IMAGENET_MEAN)) / np.asarray(
+        IMAGENET_STD
+    )
+    assert seen["x"].shape == (2, *dims, 3)
+    np.testing.assert_allclose(seen["x"], normed, rtol=1e-5, atol=1e-5)
+
+    want = np.asarray(
+        model.apply(
+            variables, jnp.asarray(normed, jnp.float32),
+            jnp.asarray(objs["features"]), jnp.asarray(objs["xywh"]),
+            jnp.asarray(objs["valid"]), train=False,
+        )["depth_pred"]
+    )
+    np.testing.assert_allclose(depth, want, rtol=1e-4, atol=1e-4)
+
+    # no provider: sentinel slot 0 carries the supplied <UNK> embedding
+    unk = RNG.standard_normal(512).astype(np.float32)
+    pipe2 = DepthPipeline(
+        model, variables, eval_dims=dims, n_obj_max=n_obj,
+        use_mesh=False, unk_feature=unk,
+    )
+    feats, xywh, valid = pipe2._sentinel_objects(2)
+    np.testing.assert_allclose(np.asarray(feats)[:, 0], np.tile(unk, (2, 1)))
+    assert np.asarray(valid)[:, 0].all() and not np.asarray(valid)[:, 1:].any()
+    want2 = np.asarray(
+        model.apply(
+            variables, jnp.asarray(normed, jnp.float32), feats, xywh, valid,
+            train=False,
+        )["depth_pred"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(pipe2(frames)), want2, rtol=1e-4, atol=1e-4
+    )
