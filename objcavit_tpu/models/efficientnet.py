@@ -14,8 +14,10 @@ returns the five tensors its decoder consumes:
 
 TPU notes: NHWC, TF-style asymmetric SAME padding (flax default — identical
 to the tf_* torch variants), BN eps 1e-3, SiLU. The reference strips bn2/act2
-after conv_head (DenseFeatureExtractor.py:152-156), so conv_head here has no
-BN/activation either.
+after conv_head for the b-series (DenseFeatureExtractor.py:152-156), so
+conv_head has no BN/activation there; for the torchvision v2 encoders only
+avgpool/classifier are stripped (:166-168) and the head Conv2dNormActivation
+keeps its BN+SiLU — ``EncoderSpec.head_bn_act`` reproduces that split.
 """
 
 from __future__ import annotations
@@ -44,6 +46,7 @@ class EncoderSpec:
     skip_stages: tuple  # indices (into stages) of the 4 skip features
     skip_channels: tuple  # channels of the 4 skips + bottleneck, low-res first
     pad_style: str = "tf"  # 'tf' (tf_efficientnet_*) | 'torch' (torchvision v2)
+    head_bn_act: bool = False  # v2: head keeps its BN+SiLU (see module doc)
 
 
 def _round_channels(c: float) -> int:
@@ -135,6 +138,24 @@ ENCODER_SPECS = {
         skip_stages=(0, 1, 2, 4),
         skip_channels=(8, 16, 16, 24, 64),
     ),
+    # test/CI-only: reduced v2 topology (fused + mb stages, torch padding,
+    # head BN+SiLU) for fast torchvision-import oracle tests
+    "efficientnet-v2-tiny": EncoderSpec(
+        stem_channels=8,
+        head_channels=64,
+        stages=(
+            ("fused", 8, 1, 3, 1, 1),
+            ("fused", 16, 2, 3, 2, 4),
+            ("fused", 16, 1, 3, 2, 4),
+            ("mb", 24, 1, 3, 2, 4),
+            ("mb", 24, 2, 3, 1, 6),
+            ("mb", 32, 1, 3, 2, 6),
+        ),
+        skip_stages=(0, 1, 2, 4),
+        skip_channels=(8, 16, 16, 24, 64),
+        pad_style="torch",
+        head_bn_act=True,
+    ),
     "efficientnet-v2-s": EncoderSpec(
         stem_channels=24,
         head_channels=1280,
@@ -142,6 +163,7 @@ ENCODER_SPECS = {
         skip_stages=(0, 1, 2, 4),
         skip_channels=(24, 48, 64, 160, 1280),
         pad_style="torch",
+        head_bn_act=True,
     ),
     "efficientnet-v2-m": EncoderSpec(
         stem_channels=24,
@@ -150,6 +172,7 @@ ENCODER_SPECS = {
         skip_stages=(0, 1, 2, 4),
         skip_channels=(24, 48, 80, 176, 1280),
         pad_style="torch",
+        head_bn_act=True,
     ),
 }
 
@@ -212,9 +235,17 @@ class EfficientNetEncoder(nn.Module):
                 block_idx += 1
             if si in spec.skip_stages:
                 skips.append(x)
-        # conv_head; reference strips the following bn2/act2
-        x = TorchConv(
-            spec.head_channels, (1, 1), use_bias=False, dtype=self.dtype,
-            name="conv_head",
-        )(x)
+        if spec.head_bn_act:
+            # torchvision v2: head is a full Conv2dNormActivation and the
+            # reference keeps its BN+SiLU (only avgpool/classifier stripped)
+            x = ConvBnAct(
+                spec.head_channels, (1, 1), fold_bn=self.fold_bn,
+                dtype=self.dtype, name="conv_head",
+            )(x, train)
+        else:
+            # b-series: reference strips the following bn2/act2
+            x = TorchConv(
+                spec.head_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                name="conv_head",
+            )(x)
         return skips + [x]

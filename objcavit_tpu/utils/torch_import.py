@@ -6,7 +6,9 @@ BASELINE.md). Sources of truth for key layouts:
   * GraphBinsLM state_dict prefix 'model.' (modules/GraphBinsLM.py:79-85)
   * DenseFeatureExtractor: encoder.original_model (gen-efficientnet naming:
     conv_stem/bn1/blocks.i.j.{conv_pw,bn1,conv_dw,bn2,se,conv_pwl,bn3}/
-    conv_head), decoder conv2/up1..4(_net.0/1/3/4)/conv3
+    conv_head for the b-series; torchvision features.{i} naming for
+    efficientnet_v2_{s,m} — see _convert_efficientnet_v2), decoder
+    conv2/up1..4(_net.0/1/3/4)/conv3
   * miniViT / ObjCAViT transformer stacks: torch nn.TransformerEncoder
     layers.{i}.{self_attn,linear1,linear2,norm1,norm2}, nn.MultiheadAttention
     {in_proj_weight,in_proj_bias,out_proj.*}
@@ -131,6 +133,58 @@ def _convert_efficientnet(tb: TreeBuilder, sd: dict, prefix: str, fpath: str,
     tb.conv(sd, f"{prefix}.conv_head", f"{fpath}/conv_head", bias=False)
 
 
+def _convert_efficientnet_v2(tb: TreeBuilder, sd: dict, prefix: str,
+                             fpath: str, encoder_name: str):
+    """torchvision ``efficientnet_v2_{s,m}`` -> EfficientNetEncoder.
+
+    State-dict layout (torchvision models/efficientnet.py; the reference
+    loads these via torchvision and strips only avgpool/classifier,
+    DenseFeatureExtractor.py:159-168):
+      features.0.{0,1}                      stem Conv2dNormActivation
+      features.{s+1}.{b}.block.{i}...       stage s block b:
+        FusedMBConv expand!=1: block.0 = 3x3 expand CNA, block.1 = 1x1
+          project Conv+BN (no act); expand==1: block.0 alone (with act)
+        MBConv: block.0 = 1x1 expand CNA, block.1 = dw CNA,
+          block.2 = SqueezeExcitation (fc1/fc2 convs), block.3 = project
+      features.{n_stages+1}.{0,1}           head CNA (BN+SiLU kept — see
+                                            EncoderSpec.head_bn_act)
+    Conv2dNormActivation children: .0 conv (no bias), .1 BN.
+    """
+    from objcavit_tpu.models.efficientnet import ENCODER_SPECS
+
+    spec = ENCODER_SPECS[encoder_name]
+    feats = f"{prefix}.features"
+    tb.conv(sd, f"{feats}.0.0", f"{fpath}/stem/conv", bias=False)
+    tb.bn(sd, f"{feats}.0.1", f"{fpath}/stem/bn")
+    for si, (btype, _out, depth, _k, _s, expand) in enumerate(spec.stages):
+        for bi in range(depth):
+            t = f"{feats}.{si + 1}.{bi}.block"
+            f = f"{fpath}/stage{si}_block{bi}"
+            if btype == "fused":
+                if expand != 1:
+                    tb.conv(sd, f"{t}.0.0", f"{f}/expand/conv", bias=False)
+                    tb.bn(sd, f"{t}.0.1", f"{f}/expand/bn")
+                    tb.conv(sd, f"{t}.1.0", f"{f}/project/conv", bias=False)
+                    tb.bn(sd, f"{t}.1.1", f"{f}/project/bn")
+                else:
+                    tb.conv(sd, f"{t}.0.0", f"{f}/project/conv", bias=False)
+                    tb.bn(sd, f"{t}.0.1", f"{f}/project/bn")
+            else:  # mb
+                tb.conv(sd, f"{t}.0.0", f"{f}/expand/conv", bias=False)
+                tb.bn(sd, f"{t}.0.1", f"{f}/expand/bn")
+                tb.conv(sd, f"{t}.1.0", f"{f}/dw_conv", bias=False,
+                        depthwise=True)
+                tb.bn(sd, f"{t}.1.1", f"{f}/dw_bn")
+                tb.conv(sd, f"{t}.2.fc1", f"{f}/se/reduce")
+                tb.conv(sd, f"{t}.2.fc2", f"{f}/se/expand")
+                tb.conv(sd, f"{t}.3.0", f"{f}/project/conv", bias=False)
+                tb.bn(sd, f"{t}.3.1", f"{f}/project/bn")
+    n_stages = len(spec.stages)
+    tb.conv(sd, f"{feats}.{n_stages + 1}.0", f"{fpath}/conv_head/conv",
+            bias=False)
+    tb.bn(sd, f"{feats}.{n_stages + 1}.1", f"{fpath}/conv_head/bn")
+
+
 def _convert_decoder(tb: TreeBuilder, sd: dict, prefix: str, fpath: str,
                      do_final_upscale: bool):
     # conv2: our ring-trick keeps a separate bias param (decoder.py)
@@ -211,7 +265,12 @@ def convert_state_dict(
     tb = TreeBuilder()
     dfe_t = "model.dense_feature_extractor"
     dfe_f = "dense_feature_extractor"
-    _convert_efficientnet(
+    conv_enc = (
+        _convert_efficientnet_v2
+        if encoder_name.startswith("efficientnet-v2")
+        else _convert_efficientnet
+    )
+    conv_enc(
         tb, sd, f"{dfe_t}.encoder.original_model", f"{dfe_f}/encoder", encoder_name
     )
     _convert_decoder(tb, sd, f"{dfe_t}.decoder", f"{dfe_f}/decoder",

@@ -54,6 +54,23 @@ def test_fold_bn_matches_unfolded_dense():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
 
 
+def test_fold_bn_matches_unfolded_dense_v2():
+    """v2 topology: fused blocks + the head ConvBnAct (BN+SiLU kept for
+    torchvision v2 encoders) must fold too."""
+    img = jnp.asarray(RNG.standard_normal((2, H, W, 3)).astype(np.float32))
+    model = DenseFeatureExtractor("efficientnet-v2-tiny")
+    variables = model.init(jax.random.PRNGKey(0), img)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    variables = _randomize_bn(variables, RNG)
+
+    ref = model.apply(variables, img)
+
+    folded_model = DenseFeatureExtractor("efficientnet-v2-tiny", fold_bn=True)
+    folded = fold_batchnorm(variables)
+    out = folded_model.apply(folded, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
 def test_fold_bn_matches_unfolded_graphbins():
     b, n = 1, 3
     img = jnp.asarray(RNG.standard_normal((b, H, W, 3)).astype(np.float32))
