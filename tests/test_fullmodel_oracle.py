@@ -23,6 +23,7 @@ from objcavit_tpu.models import GraphBins
 from objcavit_tpu.utils.torch_import import convert_state_dict
 
 from tests.test_dfe_oracle import TorchDecoder, TorchEncoder, _randomize
+from tests.test_dfe_oracle_v2 import TorchV2Encoder, _randomize_v2
 from objcavit_tpu.models.efficientnet import ENCODER_SPECS
 
 pytestmark = pytest.mark.slow  # full-model jit compile + big torch forward
@@ -31,18 +32,18 @@ E = 128
 
 
 class _TorchEncoderWrap(tnn.Module):
-    def __init__(self, spec):
+    def __init__(self, spec, enc_cls):
         super().__init__()
-        self.original_model = TorchEncoder(spec)
+        self.original_model = enc_cls(spec)
 
     def forward(self, x):
         return self.original_model(x)
 
 
 class _TorchDFE(tnn.Module):
-    def __init__(self, spec):
+    def __init__(self, spec, enc_cls):
         super().__init__()
-        self.encoder = _TorchEncoderWrap(spec)
+        self.encoder = _TorchEncoderWrap(spec, enc_cls)
         self.decoder = TorchDecoder(spec)
 
     def forward(self, x):
@@ -144,10 +145,11 @@ class _TorchObjCAViT(tnn.Module):
 
 
 class TorchGraphBins(tnn.Module):
-    def __init__(self, spec, n_bins=256, min_depth=0.001, max_depth=10.0):
+    def __init__(self, spec, n_bins=256, min_depth=0.001, max_depth=10.0,
+                 enc_cls=TorchEncoder):
         super().__init__()
         self.min_depth, self.max_depth = min_depth, max_depth
-        self.dense_feature_extractor = _TorchDFE(spec)
+        self.dense_feature_extractor = _TorchDFE(spec, enc_cls)
         self.objcavit = _TorchObjCAViT(n_bins)
         self.conv_out = tnn.Sequential(
             tnn.Conv2d(E, n_bins, 1, 1, 0), tnn.Softmax(dim=1)
@@ -168,12 +170,23 @@ class TorchGraphBins(tnn.Module):
         return depth, edges
 
 
-def test_graphbins_converted_weights_full_forward_parity():
+@pytest.mark.parametrize(
+    "name,enc_cls,randomize",
+    [
+        ("efficientnet-tiny", TorchEncoder, _randomize),
+        # v2: torchvision naming + head BN+SiLU, through the same
+        # convert_state_dict dispatch a real v2 Lightning ckpt would take
+        ("efficientnet-v2-tiny", TorchV2Encoder, _randomize_v2),
+    ],
+    ids=["b-series", "v2"],
+)
+def test_graphbins_converted_weights_full_forward_parity(
+    name, enc_cls, randomize
+):
     torch.manual_seed(11)
     rng = np.random.default_rng(17)
-    name = "efficientnet-tiny"
-    oracle = TorchGraphBins(ENCODER_SPECS[name])
-    _randomize(oracle, rng)
+    oracle = TorchGraphBins(ENCODER_SPECS[name], enc_cls=enc_cls)
+    randomize(oracle, rng)
     # _randomize rescales every >=2D weight; redo sane transformer init so
     # attention logits stay in a realistic range
     with torch.no_grad():
