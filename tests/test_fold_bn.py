@@ -8,6 +8,7 @@ with non-trivial running stats and BN affines.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from objcavit_tpu.models import GraphBins
 from objcavit_tpu.models.decoder import DenseFeatureExtractor
@@ -38,35 +39,30 @@ def _randomize_bn(variables, rng):
     return variables
 
 
-def test_fold_bn_matches_unfolded_dense():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "encoder_name",
+    [
+        "efficientnet-tiny",
+        # v2 topology: fused blocks + the head ConvBnAct (BN+SiLU kept for
+        # torchvision v2 encoders) must fold too
+        "efficientnet-v2-tiny",
+    ],
+)
+def test_fold_bn_matches_unfolded_dense(encoder_name):
     img = jnp.asarray(RNG.standard_normal((2, H, W, 3)).astype(np.float32))
-    model = DenseFeatureExtractor("efficientnet-tiny")
+    model = DenseFeatureExtractor(encoder_name)
     variables = model.init(jax.random.PRNGKey(0), img)
     variables = jax.tree_util.tree_map(np.asarray, variables)
     variables = _randomize_bn(variables, RNG)
 
     ref = model.apply(variables, img)
 
-    folded_model = DenseFeatureExtractor("efficientnet-tiny", fold_bn=True)
+    folded_model = DenseFeatureExtractor(encoder_name, fold_bn=True)
     folded = fold_batchnorm(variables)
     # the folded model consumes every folded param (no silently-ignored BNs)
-    out = folded_model.apply(folded, img)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
-
-
-def test_fold_bn_matches_unfolded_dense_v2():
-    """v2 topology: fused blocks + the head ConvBnAct (BN+SiLU kept for
-    torchvision v2 encoders) must fold too."""
-    img = jnp.asarray(RNG.standard_normal((2, H, W, 3)).astype(np.float32))
-    model = DenseFeatureExtractor("efficientnet-v2-tiny")
-    variables = model.init(jax.random.PRNGKey(0), img)
-    variables = jax.tree_util.tree_map(np.asarray, variables)
-    variables = _randomize_bn(variables, RNG)
-
-    ref = model.apply(variables, img)
-
-    folded_model = DenseFeatureExtractor("efficientnet-v2-tiny", fold_bn=True)
-    folded = fold_batchnorm(variables)
     out = folded_model.apply(folded, img)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
 
