@@ -40,6 +40,16 @@ class DepthDataset:
             if mode == "train"
             else self.dcfg.filenames_file_eval
         )
+        # basicParams.yaml points at ./datasets/split_filenames_files/*.txt
+        # (cwd-relative, as the reference runs from its repo root). The split
+        # files are vendored in this repo, so fall back to resolving against
+        # the repo root when the cwd-relative path is absent.
+        if not os.path.isabs(split_file) and not os.path.exists(split_file):
+            repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            cand = os.path.join(repo_root, split_file)
+            if os.path.exists(cand):
+                split_file = cand
         with open(split_file, "r") as f:
             self.filenames = [ln for ln in f.read().splitlines() if ln.strip()]
 

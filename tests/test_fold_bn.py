@@ -39,9 +39,6 @@ def _randomize_bn(variables, rng):
     return variables
 
 
-import pytest
-
-
 @pytest.mark.parametrize(
     "encoder_name",
     [
