@@ -19,17 +19,24 @@ import numpy as np
 
 from objcavit_tpu.language.embedding import make_embedder
 from objcavit_tpu.language.strategy import ObjectLanguageStrategy
+from objcavit_tpu.training.providers import SlotSizing
 
 
-class YoloClipObjectProvider:
+class YoloClipObjectProvider(SlotSizing):
     # the mirror/TTA pass must re-run the detector on the flipped image
     # (GraphBinsLM.py:173 re-runs the whole forward, detector included)
     recompute_on_mirror = True
 
-    def __init__(self, args: Any, n_max: int = 32, keep_annotations: bool = False):
+    def __init__(self, args: Any, n_max: int | None = None,
+                 keep_annotations: bool = False):
         self.keep_annotations = keep_annotations
-        ocfg = args[args.model.name].objcavit
-        self.n_max = n_max
+        mcfg = args[args.model.name]
+        ocfg = mcfg.objcavit
+        self._init_sizing(
+            n_max,
+            max_det=int(args.yolov7seg.get("max_det", 1000)),
+            final_upscale=bool(mcfg.get("do_final_upscale")),
+        )
         self.strategy = ObjectLanguageStrategy(ocfg.obj_language_strategy)
         self.embedder = make_embedder(
             ocfg.language_embedding_strategy,
@@ -39,19 +46,22 @@ class YoloClipObjectProvider:
         from objcavit_tpu.models.yolov7 import Yolov7SegDetector
 
         self.detector = Yolov7SegDetector(
-            checkpoint=args[args.model.name].get("yolov7_chkpt"),
+            checkpoint=mcfg.get("yolov7_chkpt"),
             conf_thres=args.yolov7seg.conf_thres,
             iou_thres=args.yolov7seg.iou_thres,
-            max_det=self.n_max,
+            max_det=self.max_det,
             agnostic=bool(args.yolov7seg.get("agnostic_nms")),
+            pre_topk=args.yolov7seg.get("pre_topk"),
         )
 
     def __call__(self, images_normed: np.ndarray) -> dict:
         b = images_normed.shape[0]
-        det = self.detector(images_normed)  # padded {'xywh','cls','conf','valid','names'}
-        feats = np.zeros((b, self.n_max, 512), np.float32)
-        xywh = np.full((b, self.n_max, 4), -1.0, np.float32)
-        valid = np.zeros((b, self.n_max), bool)
+        n_max = self.slots(images_normed)
+        # padded {'xywh','classes','scores','valid','names'}
+        det = self.detector(images_normed, max_det=n_max)
+        feats = np.zeros((b, n_max, 512), np.float32)
+        xywh = np.full((b, n_max, 4), -1.0, np.float32)
+        valid = np.zeros((b, n_max), bool)
         for i in range(b):
             n = int(det["valid"][i].sum())
             if n == 0:

@@ -8,12 +8,17 @@ language model's "<UNK>" embedding and valid = True.
 
 Faithfully replicated reference quirks (they affect numerics, so they are
 parity, not bugs to fix — each is cited):
-  * SelfAttnCrossAttn pads object features to the image sequence length at the
-    FRONT with 0.0001 while extending the key-padding mask at the END
-    (:191-194). Net effect: un-masked keys in the obj->im cross-attention are
-    constant 0.0001 vectors, so attention over them is uniform and the output
-    is the mean of the first n_valid image-feature values. Replicated exactly
-    (equivalent whenever N_MAX <= S - N_MAX, which holds for all configs).
+  * SelfAttnCrossAttn pads the batch-ragged object tensor (length n_b =
+    batch-max detection count) to the image sequence length at the FRONT with
+    0.0001 while extending the key-padding mask at the END (:191-194), so the
+    object block's position depends on n_b. Replicated exactly for ANY object
+    count up to S via a data-dependent gather (see SelfAttnCrossAttn): for
+    n_b <= S/2 the un-masked keys in the obj->im cross-attention are constant
+    0.0001 vectors (uniform attention -> mean of the first n_valid
+    image-feature values); for object-rich batches the pad/object key mix
+    matches the reference too. This is what lets N_MAX honour the
+    yolov7seg.max_det=1000 contract (capped at S) instead of a small
+    fixed cap.
   * Invalid/padded object slots hold the constant 0.0001, not 0 (:183).
   * grid_random "img" coords: only patch 0 / patch 1 coordinates are
     normalised — and by grid height/width respectively — because the reference
@@ -173,17 +178,35 @@ class SelfAttnCrossAttn(nn.Module):
 
         amt = s - n
         b = image_emb.shape[0]
-        # mask extended at the END with True; features padded at the FRONT
-        # with 0.0001 (reference quirk, ObjCAViT.py:191-194)
+        # Reference quirk (ObjCAViT.py:191-194): the BATCH-ragged object
+        # tensor — length n_b = max per-image detection count in the batch —
+        # is padded to S at the FRONT with 0.0001, while the key-padding mask
+        # is extended at the END with True. The object block therefore starts
+        # at position S - n_b, which is data-dependent. With fixed (B, N)
+        # slots we reproduce it exactly: place attended_obj[k] at position
+        # S - n_b + k and fill everything before with the 0.0001 pad. Slots
+        # k >= n_b (which the ragged reference never materialises) fall off
+        # the end and are dropped. For the historically common regime
+        # n_b <= S - n_b this reduces to "unmasked keys are constant pads";
+        # for object-rich images (n_b > S/2) the mix of pad and real object
+        # keys matches the reference bit-for-bit as well.
+        n_b = jnp.max(jnp.sum(~obj_pad_mask, axis=1)).astype(jnp.int32)
+        src = jnp.arange(s, dtype=jnp.int32)[None, :] - (s - n_b)  # (1, S)
+        gathered = jnp.take_along_axis(
+            attended_obj,
+            jnp.broadcast_to(jnp.clip(src, 0, n - 1)[..., None], (b, s, 1)),
+            axis=1,
+        )
+        obj_padded = jnp.where(
+            ((src >= 0) & (src < n))[..., None],
+            gathered,
+            jnp.asarray(0.0001, dtype=attended_obj.dtype),
+        )
+        # mask extension: positions < n keep the per-slot mask, positions
+        # >= n are True — for front-compacted validity this is j >= n_i,
+        # exactly the reference's [mask(n_b), True(S - n_b)] layout
         key_padding = jnp.concatenate(
             [obj_pad_mask, jnp.ones((b, amt), dtype=bool)], axis=1
-        )
-        obj_padded = jnp.concatenate(
-            [
-                jnp.full((b, amt, self.embed_dim), 0.0001, dtype=attended_obj.dtype),
-                attended_obj,
-            ],
-            axis=1,
         )
         final_image = MultiHeadAttention(
             self.embed_dim, self.num_heads, dtype=self.dtype,

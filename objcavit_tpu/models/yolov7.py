@@ -558,17 +558,26 @@ class Yolov7SegDetector:
         num_classes: int = 1203,
         conf_thres: float = 0.25,
         iou_thres: float = 0.45,
-        max_det: int = 32,
+        max_det: int = 1000,
         agnostic: bool = False,
         class_names: Sequence[str] | None = None,
         params=None,
+        pre_topk: int | None = None,
     ):
         import os
 
         self.num_classes = num_classes
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
+        # parity default matches basicParams.yaml:34 (Yolov7Wrapper.py:92-100
+        # passes max_det straight to yolov7's non_max_suppression); callers
+        # pass the per-batch slot capacity min(max_det, seq_len) at call time
         self.max_det = max_det
+        # NMS candidate pool ahead of suppression. None = min(1024, A): a
+        # parity-safe pool (yolov7's own pre-filter keeps up to 30k, but
+        # >1024 anchors above conf 0.25 does not occur on real imagery;
+        # dense-candidate behaviour is pinned by tests/test_ops.py)
+        self.pre_topk = pre_topk
         self.agnostic = agnostic
         self.class_names = class_names or [
             f"class_{i}.n.01" for i in range(num_classes)
@@ -589,8 +598,9 @@ class Yolov7SegDetector:
         self._params = params
         self._jitted = {}
 
-    def _get_fn(self, shape):
-        if shape not in self._jitted:
+    def _get_fn(self, shape, max_det: int):
+        key = (shape, max_det)
+        if key not in self._jitted:
             import jax
 
             from objcavit_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
@@ -603,11 +613,16 @@ class Yolov7SegDetector:
                 boxes, best, best_cls, coef = decode_best(
                     preds, self.num_classes
                 )
+                n_anchors = int(boxes.shape[1])
+                pre_topk = (
+                    min(1024, n_anchors) if self.pre_topk is None
+                    else min(int(self.pre_topk), n_anchors)
+                )
                 out = batched_nms(
                     xywh_to_xyxy(boxes), best, best_cls,
                     self.conf_thres, self.iou_thres,
-                    pre_topk=min(256, int(boxes.shape[1])),
-                    max_det=self.max_det,
+                    pre_topk=pre_topk,
+                    max_det=max_det,
                     agnostic=self.agnostic,
                 )
                 out["xywh"] = xyxy_to_xywh(out.pop("boxes_xyxy"))
@@ -616,8 +631,8 @@ class Yolov7SegDetector:
                 )
                 return out, proto
 
-            self._jitted[shape] = jax.jit(run)
-        return self._jitted[shape]
+            self._jitted[key] = jax.jit(run)
+        return self._jitted[key]
 
     def init_params(self, image_shape):
         import jax
@@ -625,10 +640,13 @@ class Yolov7SegDetector:
         dummy = jnp.zeros((1, *image_shape), jnp.float32)
         return jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
 
-    def __call__(self, images_normed: np.ndarray) -> dict:
+    def __call__(self, images_normed: np.ndarray, max_det: int | None = None) -> dict:
         if self._params is None:
             self._params = self.init_params(images_normed.shape[1:])
-        fn = self._get_fn(images_normed.shape)
+        fn = self._get_fn(
+            images_normed.shape,
+            self.max_det if max_det is None else int(max_det),
+        )
         out, proto = fn(self._params, jnp.asarray(images_normed))
         out = {k: np.asarray(v) for k, v in out.items()}
         out["names"] = [

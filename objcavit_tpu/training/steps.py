@@ -30,6 +30,38 @@ from objcavit_tpu.metrics import (
 from objcavit_tpu.models import AdaBins, GraphBins
 
 
+def image_seq_len(h: int, w: int, do_final_upscale: bool = False,
+                  patch: int = 16) -> int:
+    """ObjCAViT's image-token sequence length for an (h, w) network input:
+    dense features at half resolution (full with do_final_upscale), then
+    16px patches (ObjCAViT.py:287-288; feature res DenseFeatureExtractor)."""
+    import math
+
+    fh = h if do_final_upscale else math.ceil(h / 2)
+    fw = w if do_final_upscale else math.ceil(w / 2)
+    return math.ceil(fh / patch) * math.ceil(fw / patch)
+
+
+def objects_capacity(args: Any, dims: tuple[int, int]) -> int:
+    """Padded object-slot count for a given network input (h, w).
+
+    Honours the reference's detection-capacity contract: the detector keeps
+    up to ``yolov7seg.max_det`` detections (basicParams.yaml:34,
+    Yolov7Wrapper.py:92-100) and ObjCAViT pads the object list to the image
+    sequence length (ObjCAViT.py:191-194), so S is the effective ceiling:
+    N_max = min(max_det, S). ``args.objects_max`` (not a reference key) is an
+    explicit override for tests/benchmarks."""
+    cap = args.get("objects_max")
+    if cap is not None:
+        return int(cap)
+    max_det = 1000
+    if "yolov7seg" in args:
+        max_det = int(args.yolov7seg.get("max_det", 1000))
+    fu = bool(args[args.model.name].get("do_final_upscale"))
+    h, w = (int(x) for x in dims)
+    return min(max_det, image_seq_len(h, w, fu))
+
+
 def build_model(args: Any, dtype=jnp.float32, attn_impl: str = "xla"):
     """Model factory from a reference-format config tree."""
     name = args.model.name
@@ -108,6 +140,46 @@ def make_train_step(
         return new_state, loss
 
     return train_step
+
+
+def make_bn_refresh_step(
+    model,
+    augment_on_device: bool,
+    is_graphbins: bool,
+    momentum: float = 0.1,
+) -> Callable:
+    """Per-batch BN-statistics extractor for the SWA refresh.
+
+    ``torch.optim.swa_utils.update_bn`` semantics (what Lightning's
+    StochasticWeightAveraging — reference main.py:41-43 — runs after
+    swapping in the averaged weights): reset running stats, set momenta to
+    None, and take the CUMULATIVE average of each batch's raw statistics
+    under the averaged params. Flax BatchNorm only exposes the EMA
+    ``new = (1 - m_torch) * old + m_torch * batch`` (common.BatchNorm), so
+    applying from ZEROED stats recovers ``batch_stat = ema_out / m_torch``.
+    The depth model uses torch momentum 0.1 uniformly (common.BatchNorm
+    default; the 0.97-flax-momentum BNs live in the frozen detector, outside
+    the train state). The caller averages the per-batch results.
+    """
+
+    def refresh_step(params, zero_stats, batch, objects, rng):
+        image = batch["image"]
+        if augment_on_device:
+            aug_rng, rng = jax.random.split(rng)
+            image, _ = augment_batch(aug_rng, image, batch["depth"])
+        inputs = (image,)
+        if is_graphbins:
+            inputs = (
+                image, objects["features"], objects["xywh"], objects["valid"],
+            )
+        _, mutated = model.apply(
+            {"params": params, "batch_stats": zero_stats}, *inputs,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng, "droppath": jax.random.fold_in(rng, 1)},
+        )
+        return jax.tree.map(lambda s: s / momentum, mutated["batch_stats"])
+
+    return refresh_step
 
 
 def make_eval_step(
