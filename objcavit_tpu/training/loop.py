@@ -211,6 +211,14 @@ class Trainer:
             host_hook=self._train_hook if self.is_graphbins else None,
             synchronous=self.sync_loading,
         )
+        # In-fit validation runs at basic.batch_size — EXACT reference
+        # semantics, not a deviation: both reference val paths build their
+        # loader with args.basic.batch_size (GraphBinsLM.py:510-528;
+        # dataloader.py:60-67), and the old_dl bs==1 assert fires only under
+        # -v/-i (dataloader.py:58 gates on args.validate/args.inference).
+        # The RA metric family is per-UPDATE (AbsRel.py:21-27), so in-fit RA
+        # logs at bs>1 average over batch pixel-pools on both stacks alike;
+        # the headline -v protocol is bs=1 (validate() below / main.py:58).
         val_loader = DeviceLoader(
             val_ds, bs, self.mesh, shuffle=False,
             host_hook=self._host_hook if self.is_graphbins else None,
