@@ -12,13 +12,18 @@ Measured programs (all AOT-compiled once; XLA cost_analysis FLOPs from the
 same executable power the MFU numbers):
   * value — the flagship GraphBins-B5 forward (bf16, BatchNorm folded, object
     features pre-supplied) at the throughput-optimal batch (sweep on a v5e
-    chip: b8 243.6, b32 248.9, b64 248.3, b96 255.3 img/s).
+    chip: b8 243.6, b32 248.9, b64 248.3, b96 255.3 img/s). Round 4: the
+    padded object count is the detection-capacity-parity 300 (was 32).
   * extras.serving_fused_img_per_s — the full fused serving program:
     device-resident uint8 frames -> resize/normalise -> YOLOv7-seg ->
     fixed-shape NMS -> class-embedding gather -> GraphBins depth, one XLA
     program, zero host round-trips (serving.FusedDepthPipeline), at ITS
     optimal batch (r3 sweeps: b8 152.9, b32 154.0, b96 203.5, b128 210.0,
-    b160 197.6 img/s -> bs=128).
+    b160 197.6 img/s -> bs=128). Round 4: measured at the PARITY defaults —
+    full dense detector head (det_topk=None, was the top-128 sparse head),
+    pre_topk=min(1024, A) NMS pool (was 256), 300 object slots (was 32).
+    The r3 relaxed configuration remains available as knobs; its cost is
+    recorded in docs/PERF.md (scripts/ab_capacity.py).
     Detector and CLIP table are randomly initialised (weights aren't in this
     image), which does not affect op timing.
   * extras.p50_ms — median synchronised latency of one fused bs=8 batch (the
@@ -59,7 +64,9 @@ def main():
 
     batch = 96
     serving_batch = 128  # r3 sweep: b96 203.5, b128 210.0, b160 197.6 img/s
-    h, w, n_obj = 480, 640, 32
+    # n_obj 300 = detection-capacity parity, min(max_det 1000, seq len 300)
+    # at 480x640 (basicParams.yaml:34 + ObjCAViT.py:191-194, round 4)
+    h, w, n_obj = 480, 640, 300
     rng = np.random.default_rng(0)
     fwd, (folded, img, feats, xywh, valid) = build_flagship(batch, h, w, n_obj)
     kw = flagship_kwargs()
@@ -97,6 +104,8 @@ def main():
     det_model = Yolov7Seg(num_classes=num_classes, dtype=jnp.bfloat16,
                           fold_bn=True)
     table = rng.standard_normal((num_classes + 1, 512)).astype(np.float32)
+    # round-4 parity defaults: full dense detector head (det_topk=None),
+    # pre_topk=min(1024, A) NMS pool, n_obj_max=300 capacity
     pipe = FusedDepthPipeline(
         fmodel, folded, det_model, det_params, table,
         eval_dims=(h, w), n_obj_max=n_obj,
@@ -145,6 +154,7 @@ def main():
     from objcavit_tpu.training.steps import make_train_step
 
     tb, th, tw = 8, 416, 544
+    n_obj = 221  # train-resolution capacity: min(1000, seq len at 416x544)
     tbatch = {
         "image": jnp.asarray(rng.uniform(0, 1, (tb, th, tw, 3)).astype(np.float32)),
         "depth": jnp.asarray(

@@ -39,9 +39,12 @@ def mha_core(
         return pallas_mha(q, k, v, key_padding_mask)
 
     d = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    # accumulate scores in at least fp32 (fp64 stays fp64 — the float64
+    # backward-parity oracle depends on it)
+    acc_t = jnp.promote_types(q.dtype, jnp.float32)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, acc_t))
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=acc_t
     ) * scale
     if key_padding_mask is not None:
         scores = jnp.where(

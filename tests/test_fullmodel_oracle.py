@@ -123,7 +123,7 @@ class _TorchObjCAViT(tnn.Module):
         ch = torch.arange(gh).view(-1, 1).expand(-1, gw)
         pc = torch.stack([cw, ch], 0) * p + p // 2
         pc = pc.flatten(1).expand(image_features.shape[0], -1, -1)
-        pc = pc.permute(0, 2, 1).float()
+        pc = pc.permute(0, 2, 1).to(image_features.dtype)
         sizes = torch.ones_like(pc) * p
         pc = torch.cat([pc, sizes], dim=2)
         img_pos = self.positional_encoder(pc[..., 0:4]).permute(0, 2, 1)
