@@ -45,7 +45,7 @@ def main():
         "depth": jnp.asarray(
             rng.uniform(0.01, 9.9, (1, h, w, 1)).astype(np.float32)
         ),
-        "valid": jnp.ones((1,), bool),
+        "sample_valid": jnp.ones((1,), bool),
     }
     objects = {
         "features": jnp.asarray(
