@@ -381,14 +381,24 @@ class Yolov7Seg(nn.Module):
     fold_bn: bool = False
 
     @nn.compact
-    def __call__(self, image, train: bool = False, topk_positions: int | None = None):
-        """topk_positions=None: full heads, returns ([3 x (B,h,w,3,no)], proto).
+    def __call__(self, image, train: bool = False,
+                 topk_positions: int | None = None,
+                 class_max: bool = False):
+        """topk_positions=None, class_max=False: full heads, returns
+        ([3 x (B,h,w,3,no)], proto).
 
-        topk_positions=k (serving fast path): the box+obj head runs on the
-        full grid, but the 1203-class + mask-coefficient head runs ONLY on
-        the top-k positions per level by objectness — the (B, A, no~1240)
-        tensor (4.4 GB of HBM write+read at the serving batch) is never
-        materialised. Returns ([3 x sparse-level dicts], proto); decode with
+        class_max=True (the EXACT serving fast path, round 4): the full
+        dense head runs, but 1x1 conv + per-anchor class max/argmax fuse
+        into one Pallas kernel (ops/detect_head_pallas.py) so the
+        (B, A, no~1240) logits tensor never reaches HBM — same math as the
+        dense path up to matmul accumulation order. Returns
+        ([3 x class-max dicts], proto); decode with ``decode_best_classmax``.
+        Falls back to an identical-semantics XLA reference off-TPU.
+
+        topk_positions=k (sparse RELAXATION, r3): the box+obj head runs on
+        the full grid, but the 1203-class + mask-coefficient head runs ONLY
+        on the top-k positions per level by objectness. Returns
+        ([3 x sparse-level dicts], proto); decode with
         ``decode_best_sparse``. Selection-by-objectness mirrors yolov7's own
         `xc = obj > conf_thres` candidate pre-filter (general.py NMS).
         Exactness: with k = h*w this reproduces the full path bit-for-bit
@@ -413,10 +423,32 @@ class Yolov7Seg(nn.Module):
                 kernel_init=nn.initializers.lecun_normal(),
                 bias_init=nn.initializers.zeros,
             )(o.shape[-1])
-            k2 = kernel[0, 0].astype(self.dtype)  # (Cin, 3*no); 1x1 conv = matmul
+            k2_raw, bias_raw = kernel[0, 0], bias
+            k2 = k2_raw.astype(self.dtype)  # (Cin, 3*no); 1x1 conv = matmul
             bias = bias.astype(self.dtype)
             n, h, w, cin = o.shape
             flat = o.reshape(n, h * w, cin)
+            if class_max:
+                import jax as _jax
+
+                from objcavit_tpu.ops.detect_head_pallas import (
+                    fused_detect_head,
+                    fused_detect_head_reference,
+                )
+
+                fn = (
+                    fused_detect_head
+                    if _jax.default_backend() == "tpu"
+                    else fused_detect_head_reference
+                )
+                y5, coefs, cmax, carg = fn(
+                    flat, k2_raw, bias_raw, self.num_classes, self.nm
+                )
+                preds.append(
+                    {"y5": y5, "coef": coefs, "cls_max": cmax,
+                     "cls_arg": carg, "hw": (h, w)}
+                )
+                continue
             if topk_positions is None:
                 p = flat @ k2 + bias
                 preds.append(p.reshape(n, h, w, 3, no))
@@ -534,6 +566,41 @@ def decode_best_sparse(
         best.append(score.reshape(n, -1))
         best_cls.append(a.reshape(n, -1))
         coef.append(rest[..., num_classes:].reshape(n, -1, nm))
+    return (
+        jnp.concatenate(boxes, 1),
+        jnp.concatenate(best, 1),
+        jnp.concatenate(best_cls, 1),
+        jnp.concatenate(coef, 1),
+    )
+
+
+def decode_best_classmax(
+    levels: Sequence[dict], num_classes: int, nm: int = 32
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """decode_best for the ``class_max`` fused-head output.
+
+    levels: per-level dicts {y5 (B,S,3,5), coef (B,S,3,nm), cls_max (B,S,3)
+    f32, cls_arg (B,S,3) i32, hw}. The class reduction already happened in
+    the head; this only applies the box decode and the score product —
+    identical math to decode_best (same position-major flattening order).
+    """
+    boxes, best, best_cls, coef = [], [], [], []
+    for lvl, stride, anchors in zip(levels, STRIDES, ANCHORS):
+        y5 = lvl["y5"]
+        h, w = lvl["hw"]
+        n = y5.shape[0]
+        sig5 = jax.nn.sigmoid(y5)
+        gx = jnp.arange(w, dtype=jnp.float32)
+        gy = jnp.arange(h, dtype=jnp.float32)
+        grid = jnp.stack(jnp.meshgrid(gx, gy), axis=-1).reshape(-1, 1, 2)
+        anc = jnp.asarray(anchors, jnp.float32)
+        xy = (sig5[..., 0:2] * 2.0 - 0.5 + grid[None]) * stride
+        wh = (sig5[..., 2:4] * 2.0) ** 2 * anc[None, None]
+        score = sig5[..., 4] * jax.nn.sigmoid(lvl["cls_max"])
+        boxes.append(jnp.concatenate([xy, wh], -1).reshape(n, -1, 4))
+        best.append(score.reshape(n, -1))
+        best_cls.append(lvl["cls_arg"].reshape(n, -1))
+        coef.append(lvl["coef"].reshape(n, -1, nm))
     return (
         jnp.concatenate(boxes, 1),
         jnp.concatenate(best, 1),

@@ -275,6 +275,7 @@ class FusedDepthPipeline:
         iou_thres: float = 0.45,
         det_topk: int | None = None,
         pre_topk: int | None = None,
+        class_max_head: bool = False,
         use_mesh: bool = True,
         mesh=None,
         det_stride: int = 1,
@@ -317,6 +318,14 @@ class FusedDepthPipeline:
         # NMS candidate pool; None -> min(1024, A) (parity-safe, see
         # Yolov7SegDetector.pre_topk)
         self.pre_topk = pre_topk
+        # class_max_head: with the exact dense head (det_topk=None), fuse
+        # the 1x1 head conv + per-anchor class max/argmax into one Pallas
+        # kernel (ops/detect_head_pallas.py) so the (B, A, ~1240) logits
+        # tensor never reaches HBM — same math. Measured NEGATIVE on v5e
+        # (207.4 vs 210.2 img/s at bs=128: XLA already keeps the dense head
+        # off the bandwidth critical path; the r3 sparse win was FLOPs, not
+        # HBM) — default False, kept as a pinned option. See PERF.md.
+        self.class_max_head = class_max_head
         # det_stride: VIDEO keyframe mode — the batch is a consecutive-frame
         # clip; the detector runs on frames [0, K, 2K, ...] and each
         # keyframe's objects are reused for the K-1 frames that follow it
@@ -334,7 +343,11 @@ class FusedDepthPipeline:
         self._fns = {}
 
     def _build(self, in_shape):
-        from objcavit_tpu.models.yolov7 import decode_best, decode_best_sparse
+        from objcavit_tpu.models.yolov7 import (
+            decode_best,
+            decode_best_classmax,
+            decode_best_sparse,
+        )
         from objcavit_tpu.ops.nms import batched_nms, xywh_to_xyxy, xyxy_to_xywh
 
         eh, ew = self.eval_dims
@@ -364,15 +377,21 @@ class FusedDepthPipeline:
             x_det = x01[::stride] if stride > 1 else x01
             if (dh, dw) != (eh, ew):
                 x_det = resize_bilinear(x_det, dh, dw, align_corners=False)
+            use_cm = self.det_topk is None and self.class_max_head
             preds, _proto = self.detector_model.apply(
-                det_params, x_det, train=False, topk_positions=self.det_topk
+                det_params, x_det, train=False,
+                topk_positions=self.det_topk, class_max=use_cm,
             )
-            if self.det_topk is None:
-                boxes, best, best_cls, _coef = decode_best(preds, num_classes)
-            else:
+            if self.det_topk is not None:
                 boxes, best, best_cls, _coef = decode_best_sparse(
                     preds, num_classes
                 )
+            elif use_cm:
+                boxes, best, best_cls, _coef = decode_best_classmax(
+                    preds, num_classes
+                )
+            else:
+                boxes, best, best_cls, _coef = decode_best(preds, num_classes)
             n_anchors = int(boxes.shape[1])
             pre_topk = (
                 min(1024, n_anchors) if self.pre_topk is None
