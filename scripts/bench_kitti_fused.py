@@ -33,7 +33,9 @@ def main():
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
     batches = [int(x) for x in sys.argv[1:]] or [32, 48]
-    h, w, n_obj = 352, 1216, 32
+    # n_obj 418 = capacity parity at the kb-cropped KITTI eval resolution
+    # (min(max_det 1000, seq len 11*38), round 4)
+    h, w, n_obj = 352, 1216, 418
     num_classes = 1203
     rng = np.random.default_rng(0)
     kw = dict(
