@@ -275,7 +275,7 @@ class FusedDepthPipeline:
         iou_thres: float = 0.45,
         det_topk: int | None = None,
         pre_topk: int | None = None,
-        class_max_head: bool = False,
+        class_max_head: bool | None = None,
         use_mesh: bool = True,
         mesh=None,
         det_stride: int = 1,
@@ -321,10 +321,12 @@ class FusedDepthPipeline:
         # class_max_head: with the exact dense head (det_topk=None), fuse
         # the 1x1 head conv + per-anchor class max/argmax into one Pallas
         # kernel (ops/detect_head_pallas.py) so the (B, A, ~1240) logits
-        # tensor never reaches HBM — same math. Measured NEGATIVE on v5e
-        # (207.4 vs 210.2 img/s at bs=128: XLA already keeps the dense head
-        # off the bandwidth critical path; the r3 sparse win was FLOPs, not
-        # HBM) — default False, kept as a pinned option. See PERF.md.
+        # tensor never reaches HBM — same math up to matmul accumulation
+        # order. Measured on v5e (PERF.md): -1.3% at NYU 480x640 (18.9k
+        # anchors; XLA hides the logits traffic) but +16.7% at KITTI
+        # 352x1216 (26.3k anchors; the logits tensor IS on the bandwidth
+        # critical path there). Default None = auto: on when the detector
+        # grid carries >20k anchors.
         self.class_max_head = class_max_head
         # det_stride: VIDEO keyframe mode — the batch is a consecutive-frame
         # clip; the detector runs on frames [0, K, 2K, ...] and each
@@ -377,7 +379,14 @@ class FusedDepthPipeline:
             x_det = x01[::stride] if stride > 1 else x01
             if (dh, dw) != (eh, ew):
                 x_det = resize_bilinear(x_det, dh, dw, align_corners=False)
-            use_cm = self.det_topk is None and self.class_max_head
+            n_anchors_grid = 3 * sum(
+                (dh // st) * (dw // st) for st in (8, 16, 32)
+            )
+            cm = (
+                n_anchors_grid > 20000 if self.class_max_head is None
+                else self.class_max_head
+            )
+            use_cm = self.det_topk is None and cm
             preds, _proto = self.detector_model.apply(
                 det_params, x_det, train=False,
                 topk_positions=self.det_topk, class_max=use_cm,
