@@ -676,10 +676,25 @@ class Yolov7SegDetector:
                 image01 = image_normed * jnp.asarray(IMAGENET_STD) + jnp.asarray(
                     IMAGENET_MEAN
                 )
-                preds, proto = self.model.apply(variables, image01, train=False)
-                boxes, best, best_cls, coef = decode_best(
-                    preds, self.num_classes
+                # same auto gate as serving (PERF.md): fuse the class head's
+                # conv+max into the Pallas kernel on large anchor grids
+                # (KITTI kb-crop eval), keep XLA's dense head on small ones
+                ih, iw = image_normed.shape[1:3]
+                n_anchors_grid = 3 * sum(
+                    (ih // st) * (iw // st) for st in (8, 16, 32)
                 )
+                use_cm = n_anchors_grid > 20000
+                preds, proto = self.model.apply(
+                    variables, image01, train=False, class_max=use_cm
+                )
+                if use_cm:
+                    boxes, best, best_cls, coef = decode_best_classmax(
+                        preds, self.num_classes
+                    )
+                else:
+                    boxes, best, best_cls, coef = decode_best(
+                        preds, self.num_classes
+                    )
                 n_anchors = int(boxes.shape[1])
                 pre_topk = (
                     min(1024, n_anchors) if self.pre_topk is None
