@@ -61,13 +61,14 @@ def _kernel(x_ref, w5c_ref, b5c_ref, wcls_ref, bcls_ref, y5c_ref,
     carg_ref[0, 0] = arg
 
 
-@functools.partial(jax.jit, static_argnames=("num_classes", "nm"))
+@functools.partial(jax.jit, static_argnames=("num_classes", "nm", "tile"))
 def fused_detect_head(
     flat: jax.Array,  # (B, S, Cin) head input, model dtype
     kernel: jax.Array,  # (Cin, 3*no) detect conv kernel (no = 5+nc+nm)
     bias: jax.Array,  # (3*no,)
     num_classes: int,
     nm: int = 32,
+    tile: int = 256,
 ):
     """Returns (y5 (B,S,3,5), coef (B,S,3,nm), cls_max (B,S,3) f32,
     cls_arg (B,S,3) int32) — the dense head + per-anchor class reduction."""
@@ -99,7 +100,7 @@ def fused_detect_head(
         )
 
     # ---- position tiling (pad S to a tile multiple; padded rows dropped) --
-    t = 256
+    t = tile
     sp = ((s + t - 1) // t) * t
     if sp != s:
         flat = jnp.pad(flat, ((0, 0), (0, sp - s), (0, 0)))
