@@ -35,7 +35,7 @@ def main():
     )
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
-    batch, h, w, n_obj = 128, 480, 640, 32
+    batch, h, w, n_obj = 128, 480, 640, 300  # round-4 capacity parity
     num_classes = 1203
     rng = np.random.default_rng(0)
 
