@@ -60,7 +60,7 @@ def build_and_time(variant: str, batch: int = 8, stage: str = "full"):
     from objcavit_tpu.models import GraphBins
     from objcavit_tpu.models.decoder import DenseFeatureExtractor
 
-    h, w, n_obj = 480, 640, 32
+    h, w, n_obj = 480, 640, 300  # round-4 capacity parity
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((batch, h, w, 3)).astype(np.float32))
     feats = jnp.asarray(rng.standard_normal((batch, n_obj, 512)).astype(np.float32))

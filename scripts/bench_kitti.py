@@ -28,7 +28,7 @@ def main():
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
     batches = [int(x) for x in sys.argv[1:]] or [48, 64]
-    h, w, n_obj = 352, 1216, 32
+    h, w, n_obj = 352, 1216, 418  # round-4 capacity parity
     rng = np.random.default_rng(0)
     kw = dict(
         encoder_name="efficientnet-b5", n_bins=256, min_depth=0.001,

@@ -33,7 +33,7 @@ def main():
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
     batches = [int(a) for a in sys.argv[1:]] or [1, 2, 8]
-    h, w, n_obj, num_classes = 480, 640, 32, 1203
+    h, w, n_obj, num_classes = 480, 640, 300, 1203  # round-4 capacity parity
     rng = np.random.default_rng(0)
     _, (folded, *_rest) = build_flagship(1, h, w, n_obj)
     fmodel = GraphBins(**flagship_kwargs(), fold_bn=True)

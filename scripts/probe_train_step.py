@@ -26,7 +26,7 @@ def main():
     from objcavit_tpu.utils.benchkit import best_of
 
     rng = np.random.default_rng(0)
-    tb, th, tw, n_obj = 8, 416, 544, 32
+    tb, th, tw, n_obj = 8, 416, 544, 221  # round-4 capacity parity
     kw = dict(
         encoder_name="efficientnet-b5", n_bins=256, min_depth=0.001,
         max_depth=10.0, pos_strategy="learned", dims_train=(th, tw),

@@ -59,7 +59,7 @@ def main():
     from objcavit_tpu.utils.benchkit import best_of, build_flagship, flagship_kwargs
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
-    h, w, n_obj = 480, 640, 32
+    h, w, n_obj = 480, 640, 300  # round-4 capacity parity
     num_classes = 1203
     rng = np.random.default_rng(0)
 

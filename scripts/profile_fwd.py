@@ -43,7 +43,7 @@ def main():
     from objcavit_tpu.models.decoder import DenseFeatureExtractor
     from objcavit_tpu.models.efficientnet import EfficientNetEncoder
 
-    h, w, n_obj = 480, 640, 32
+    h, w, n_obj = 480, 640, 300  # round-4 capacity parity
     for batch in args.batches:
         rng = np.random.default_rng(0)
         img = jnp.asarray(rng.standard_normal((batch, h, w, 3)).astype(np.float32))

@@ -30,7 +30,7 @@ def main():
     )
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 96
-    h, w, n_obj = 480, 640, 32
+    h, w, n_obj = 480, 640, 300  # round-4 capacity parity
     fwd, (folded, img, feats, xywh, valid) = build_flagship(b, h, w, n_obj)
 
     name = "efficientnet-b5"

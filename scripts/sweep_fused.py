@@ -39,7 +39,7 @@ def main():
         args = args[2:]
     batches = [int(x) for x in args] or [128, 160]
 
-    h, w, n_obj = 480, 640, 32
+    h, w, n_obj = 480, 640, 300  # round-4 capacity parity
     rng = np.random.default_rng(0)
     _, (folded, *_rest) = build_flagship(1, h, w, n_obj)
     fmodel = GraphBins(**flagship_kwargs(), fold_bn=True)
