@@ -104,7 +104,9 @@ class GridRandomPositionalEmbeddings(nn.Module):
         im_h, im_w = fh * factor, fw * factor
 
         if self.mode == "centre":
-            c = coords.astype(jnp.float32)
+            # at least f32 for coordinate math (f64 passes through — the
+            # float64 backward oracle depends on it)
+            c = coords.astype(jnp.promote_types(coords.dtype, jnp.float32))
             if input_coord_space == "img":
                 # reference [:, 0] indexing quirk: only patches 0 and 1 are
                 # normalised (by grid h / w respectively); see module docstring

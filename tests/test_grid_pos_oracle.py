@@ -159,3 +159,57 @@ def test_grid_random_roi_align_img_matches_torch():
     want = _torch_roi_align(table, coords, (fh, fw), 16, "img")
     got = np.asarray(model.apply(variables, jnp.asarray(coords), (fh, fw), "img"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_random_obj_mode_backward_exact_f64():
+    """EXACT (rtol 1e-9) gradient of the learnable table through the 'obj'
+    centre-mode grid_sample, float64: torch autograd vs jax.grad. Completes
+    the backward-oracle coverage for the grid positional strategies (the
+    full-model backward oracle runs the learned_bbox_wh MLP strategy);
+    grid_sample here is pure-jnp gather math whose VJP this pins."""
+    fh, fw = 32, 48
+    patch, e = 16, 16
+    gh, gw = fh // patch, fw // patch
+    dims = (64, 96)
+    model = GridRandomPositionalEmbeddings(
+        embed_dim=e, patch_size=patch, mode="centre", dims_train=dims,
+        dims_test=dims, dtype=jnp.float64,
+    )
+    n = 9
+    table_np = RNG.uniform(0, 1, (math.ceil(dims[0] / patch)
+                                  * math.ceil(dims[1] / patch), e))
+    coords = np.stack(
+        [RNG.uniform(-10, 110, n), RNG.uniform(-10, 80, n)], -1
+    )  # includes out-of-range points (zero-pad region: zero table grad)
+    r = RNG.standard_normal((n, e))
+
+    # torch f64 autograd through F.grid_sample
+    t_table = torch.from_numpy(table_np).clone().requires_grad_(True)
+    grid = (
+        t_table[: gh * gw].view(gh, gw, e).permute(2, 0, 1).unsqueeze(0)
+    )
+    c = torch.from_numpy(coords).clone()
+    im_h, im_w = fh * 2.0, fw * 2.0
+    c0 = ((c[:, 0] / im_h) * 2) - 1
+    c1 = ((c[:, 1] / im_w) * 2) - 1
+    cg = torch.stack([c0, c1], -1).view(1, 1, -1, 2)
+    out = torch.nn.functional.grid_sample(input=grid, grid=cg)
+    loss = (out.squeeze(2).squeeze(0).permute(1, 0)
+            * torch.from_numpy(r)).sum()
+    loss.backward()
+
+    with jax.enable_x64():
+        def loss_fn(tbl):
+            got = model.apply(
+                {"params": {"positional_encodings": tbl}},
+                jnp.asarray(coords[None]), (fh, fw), "obj",
+            )[0]
+            return jnp.sum(got * jnp.asarray(r))
+
+        g = jax.grad(loss_fn)(jnp.asarray(table_np, jnp.float64))
+    np.testing.assert_allclose(
+        np.asarray(g), t_table.grad.numpy(), rtol=1e-9, atol=1e-12
+    )
+    # out-of-range samples must have contributed ZERO table gradient rows
+    # only if no coordinate maps there; in-range rows must be nonzero
+    assert np.abs(np.asarray(g)).max() > 0
