@@ -43,14 +43,15 @@ class ClipEmbedder:
     randomly initialised otherwise — architecture-complete, not parity).
     """
 
-    def __init__(self, params=None, bpe_path: str | None = None, batch: int = 64):
+    def __init__(self, params=None, bpe_path: str | None = None,
+                 batch: int = 64, require_bpe: bool = False):
         import jax
         import jax.numpy as jnp
 
         from objcavit_tpu.models.clip_text import CLIPTextEncoder
 
         self.model = CLIPTextEncoder(dtype=jnp.float32)
-        self.tokenizer = make_tokenizer(bpe_path)
+        self.tokenizer = make_tokenizer(bpe_path, require=require_bpe)
         self.batch = batch
         if params is None:
             dummy = jnp.zeros((1, 77), jnp.int32)
@@ -77,22 +78,38 @@ class ClipEmbedder:
 
 
 def make_embedder(strategy: str, clip_params=None, bpe_path=None,
-                  clip_checkpoint=None):
+                  clip_checkpoint=None, require_assets: bool = False):
     """clip_checkpoint: path to an OpenAI CLIP release .pt (the asset
     CLIPWrapper loads as ViT-B/32); converted via utils/torch_import. Falls
-    back to ``CLIP_CKPT_PATH`` env var, then random init (no parity)."""
+    back to ``CLIP_CKPT_PATH`` env var, then random init (no parity).
+
+    require_assets=True fails fast (MissingAssetError) instead of falling
+    back to random CLIP weights or the hash tokenizer — production
+    GraphBins runs must not silently consume noise embeddings."""
     if strategy == "control_obj_zeros_512":
         return ZerosEmbedder()
     if strategy == "clip":
         import os
 
         clip_checkpoint = clip_checkpoint or os.environ.get("CLIP_CKPT_PATH")
-        if clip_params is None and clip_checkpoint:
-            if os.path.exists(clip_checkpoint):
-                from objcavit_tpu.utils.torch_import import load_clip_text_weights
+        if clip_params is None and clip_checkpoint and os.path.exists(
+            clip_checkpoint
+        ):
+            from objcavit_tpu.utils.torch_import import load_clip_text_weights
 
-                clip_params = load_clip_text_weights(clip_checkpoint)["params"]
-            else:
+            clip_params = load_clip_text_weights(clip_checkpoint)["params"]
+        elif clip_params is None:
+            if require_assets:
+                from objcavit_tpu.errors import MissingAssetError
+
+                raise MissingAssetError(
+                    f"CLIP checkpoint {clip_checkpoint!r} not found (set "
+                    "clip_checkpoint in the config or CLIP_CKPT_PATH). A "
+                    "randomly-initialised text tower produces noise "
+                    "embeddings; opt into it explicitly with --debug or "
+                    "allow_random_detector: true."
+                )
+            if clip_checkpoint:
                 import logging
 
                 logging.getLogger(__name__).warning(
@@ -100,7 +117,7 @@ def make_embedder(strategy: str, clip_params=None, bpe_path=None,
                     "tower runs with RANDOM weights (embeddings are noise, "
                     "no parity)", clip_checkpoint,
                 )
-        return ClipEmbedder(clip_params, bpe_path)
+        return ClipEmbedder(clip_params, bpe_path, require_bpe=require_assets)
     raise ValueError(f"Error: Language model {strategy} not recognised")
 
 

@@ -28,7 +28,11 @@ class YoloClipObjectProvider(SlotSizing):
     recompute_on_mirror = True
 
     def __init__(self, args: Any, n_max: int | None = None,
-                 keep_annotations: bool = False):
+                 keep_annotations: bool = False, allow_random: bool = False):
+        """allow_random=False (production default) raises MissingAssetError
+        when the YOLOv7/CLIP assets are absent instead of silently running
+        random weights (VERDICT r4 weak #5); --debug / the
+        allow_random_detector override set it True."""
         self.keep_annotations = keep_annotations
         mcfg = args[args.model.name]
         ocfg = mcfg.objcavit
@@ -42,6 +46,7 @@ class YoloClipObjectProvider(SlotSizing):
             ocfg.language_embedding_strategy,
             bpe_path=args.get("clip_bpe_path"),
             clip_checkpoint=args.get("clip_checkpoint"),
+            require_assets=not allow_random,
         )
         from objcavit_tpu.models.yolov7 import Yolov7SegDetector
 
@@ -52,6 +57,7 @@ class YoloClipObjectProvider(SlotSizing):
             max_det=self.max_det,
             agnostic=bool(args.yolov7seg.get("agnostic_nms")),
             pre_topk=args.yolov7seg.get("pre_topk"),
+            allow_random=allow_random,
         )
 
     def __call__(self, images_normed: np.ndarray) -> dict:

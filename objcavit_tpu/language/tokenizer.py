@@ -165,10 +165,16 @@ class HashTokenizer:
         return out
 
 
-def make_tokenizer(bpe_path: str | None = None):
+def make_tokenizer(bpe_path: str | None = None, require: bool = False):
+    """require=True: propagate a missing BPE asset as MissingAssetError
+    instead of degrading to the non-parity HashTokenizer."""
     try:
         return ClipBPETokenizer(bpe_path)
-    except FileNotFoundError:
+    except FileNotFoundError as e:
+        if require:
+            from objcavit_tpu.errors import MissingAssetError
+
+            raise MissingAssetError(str(e)) from e
         import logging
 
         logging.getLogger(__name__).warning(

@@ -630,6 +630,7 @@ class Yolov7SegDetector:
         class_names: Sequence[str] | None = None,
         params=None,
         pre_topk: int | None = None,
+        allow_random: bool = False,
     ):
         import os
 
@@ -655,6 +656,18 @@ class Yolov7SegDetector:
 
             params = load_yolov7_weights(checkpoint, self.model)
         elif params is None:
+            if not allow_random:
+                from objcavit_tpu.errors import MissingAssetError
+
+                raise MissingAssetError(
+                    f"YOLOv7-seg checkpoint {checkpoint!r} not found. A "
+                    "randomly-initialised detector produces near-threshold "
+                    "noise detections, so a real GraphBins run would "
+                    "silently train against garbage. Provide the checkpoint "
+                    "(basicParams.yaml: yolov7seg/yolov7_chkpt), or opt "
+                    "into stub mode explicitly with --debug or "
+                    "allow_random_detector: true."
+                )
             import logging
 
             logging.getLogger(__name__).warning(
@@ -711,6 +724,7 @@ class Yolov7SegDetector:
                 out["coeffs"] = jnp.take_along_axis(
                     coef, out["nms_idx"][..., None], axis=1
                 )
+                out["pre_topk"] = jnp.asarray(pre_topk, jnp.int32)
                 return out, proto
 
             self._jitted[key] = jax.jit(run)
@@ -735,4 +749,21 @@ class Yolov7SegDetector:
             [self.class_names[int(c)] for c in row] for row in out["classes"]
         ]
         out["proto"] = proto
+        # no-silent-caps: the pre_topk candidate pool is the one remaining
+        # truncation ahead of NMS; when an image carries more
+        # above-threshold anchors than the pool, say so instead of silently
+        # dropping the lowest-confidence tail (VERDICT r4 weak #4)
+        saturated = out["n_candidates"] >= int(out["pre_topk"])
+        if saturated.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "NMS candidate pool saturated on %d/%d images "
+                "(max %d candidates above conf %.2f vs pre_topk=%d) — "
+                "lowest-confidence candidates were dropped before NMS; "
+                "raise pre_topk to match yolov7's 30k pre-filter exactly",
+                int(saturated.sum()), saturated.size,
+                int(out["n_candidates"].max()), self.conf_thres,
+                int(out["pre_topk"]),
+            )
         return out

@@ -76,6 +76,14 @@ def fused_detect_head(
     nc = num_classes
     no = 5 + nc + nm
     na = 3
+    # the packed y5+coef output rides one fixed 128-lane vector register row
+    # per position; fail here with the constraint, not deep in tracing with
+    # an opaque scatter-shape error
+    assert 5 * na + nm * na <= 128, (
+        f"fused_detect_head packs (5 + nm) * na columns into a 128-wide "
+        f"output; got na={na}, nm={nm} -> {5 * na + nm * na} > 128 "
+        f"(requires nm <= {(128 - 5 * na) // na})"
+    )
     dtype = flat.dtype
 
     # ---- repack the weight columns (static per jit: folded at compile) ----

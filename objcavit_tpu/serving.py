@@ -26,10 +26,12 @@ from objcavit_tpu.ops.resize import resize_bilinear
 from objcavit_tpu.parallel import make_mesh, shard_batch
 
 
-def _default_capacity(eval_dims, max_det: int = 1000) -> int:
+def _default_capacity(
+    eval_dims, max_det: int = 1000, do_final_upscale: bool = False
+) -> int:
     from objcavit_tpu.training.steps import image_seq_len
 
-    return min(max_det, image_seq_len(*eval_dims))
+    return min(max_det, image_seq_len(*eval_dims, do_final_upscale))
 
 
 class DepthPipeline:
@@ -52,9 +54,15 @@ class DepthPipeline:
         self.variables = variables
         self.eval_dims = eval_dims
         # None -> detection-capacity parity: min(max_det 1000, image seq len)
-        # (basicParams.yaml:34 + ObjCAViT.py:191-194); e.g. 300 at 480x640
+        # (basicParams.yaml:34 + ObjCAViT.py:191-194); e.g. 300 at 480x640,
+        # or 1000 for a do_final_upscale model (full-res features quadruple
+        # the sequence length — same formula training's objects_capacity uses)
         self.n_obj_max = (
-            _default_capacity(eval_dims) if n_obj_max is None else n_obj_max
+            _default_capacity(
+                eval_dims,
+                do_final_upscale=bool(getattr(model, "do_final_upscale", False)),
+            )
+            if n_obj_max is None else n_obj_max
         )
         self.output_at_input_res = output_at_input_res
         self.is_graphbins = isinstance(model, GraphBins)
@@ -297,9 +305,14 @@ class FusedDepthPipeline:
                 f"expected {nc_det + 1} rows"
             )
         self.eval_dims = eval_dims
-        # None -> detection-capacity parity: min(max_det 1000, seq len)
+        # None -> detection-capacity parity: min(max_det 1000, seq len),
+        # honouring do_final_upscale's quadrupled sequence length
         self.n_obj_max = (
-            _default_capacity(eval_dims) if n_obj_max is None else n_obj_max
+            _default_capacity(
+                eval_dims,
+                do_final_upscale=bool(getattr(model, "do_final_upscale", False)),
+            )
+            if n_obj_max is None else n_obj_max
         )
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
@@ -327,6 +340,13 @@ class FusedDepthPipeline:
         # 352x1216 (26.3k anchors; the logits tensor IS on the bandwidth
         # critical path there). Default None = auto: on when the detector
         # grid carries >20k anchors.
+        if class_max_head and det_topk is not None:
+            raise ValueError(
+                "class_max_head=True requires the dense head (det_topk=None):"
+                " the fused class-max kernel replaces the full 1x1 head conv,"
+                " while det_topk evaluates the head only on sparse top-k"
+                " positions. Drop one of the two knobs."
+            )
         self.class_max_head = class_max_head
         # det_stride: VIDEO keyframe mode — the batch is a consecutive-frame
         # clip; the detector runs on frames [0, K, 2K, ...] and each
@@ -343,6 +363,9 @@ class FusedDepthPipeline:
             raise ValueError(f"det_scale must be in (0, 1], got {det_scale}")
         self.det_scale = float(det_scale)
         self._fns = {}
+        # candidate-pool saturation observability (see __call__)
+        self.last_det_meta = None
+        self._pending_sat = None
 
     def _build(self, in_shape):
         from objcavit_tpu.models.yolov7 import (
@@ -444,22 +467,58 @@ class FusedDepthPipeline:
 
             out = self.model.apply(variables, normed, feats, xywh, valid,
                                    train=False)
-            return out["depth_pred"]
+            # n_candidates rides along for saturation observability
+            # (no-silent-caps): anchors above conf_thres per detector frame
+            # vs the pre_topk pool that capped them
+            return (
+                out["depth_pred"],
+                det["n_candidates"],
+                jnp.asarray(pre_topk, jnp.int32),
+            )
 
         return jax.jit(run)
+
+    def _check_pending_saturation(self):
+        """Deferred pool-saturation warning: inspects the PREVIOUS call's
+        candidate counts (device work long since complete — reading them now
+        costs no pipeline stall, unlike a same-call sync on the latency
+        path) and logs when the pre_topk pool dropped candidates."""
+        if self._pending_sat is None:
+            return
+        n_cand, pre_topk = self._pending_sat
+        self._pending_sat = None
+        n_cand = np.asarray(n_cand)
+        pre_topk = int(pre_topk)
+        sat = n_cand >= pre_topk
+        if sat.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused serving: NMS candidate pool saturated on %d/%d "
+                "detector frames (max %d above-threshold anchors vs "
+                "pre_topk=%d) — raise pre_topk to avoid dropping the "
+                "lowest-confidence tail", int(sat.sum()), sat.size,
+                int(n_cand.max()), pre_topk,
+            )
 
     def __call__(self, frames_u8) -> jax.Array:
         shape = tuple(frames_u8.shape)
         if shape not in self._fns:
             self._fns[shape] = self._build(shape)
+        self._check_pending_saturation()
         frames = jnp.asarray(frames_u8)
         # single-device: plain transfer (device_put-with-sharding is much
         # slower through the single-chip axon tunnel, see shard_batch)
         if self.mesh is not None and self.mesh.devices.size > 1:
             frames = shard_batch(self.mesh, frames)
-        return self._fns[shape](
+        depth, n_cand, pre_topk = self._fns[shape](
             self.variables, self.detector_params, self.class_table, frames
         )
+        # serving meta: lazy device arrays — consumers (and the next call's
+        # deferred warning) read them after the batch completes
+        self.last_det_meta = {"n_candidates": n_cand, "pre_topk": pre_topk}
+        self._pending_sat = (n_cand, pre_topk)
+        return depth
 
 
 def build_flagship_pipeline(

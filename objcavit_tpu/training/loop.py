@@ -108,11 +108,22 @@ class Trainer:
                 self.n_obj_max, max_det=max_det, final_upscale=fu
             )
         if strat == "clip":
+            # production (no --debug, no allow_random_detector override)
+            # fails fast on missing YOLO/CLIP assets: a random detector
+            # trains against noise with no visible failure (VERDICT r4
+            # weak #5). Debug/override mode keeps the stub fallback.
+            allow_random = self.debug or bool(args.get("allow_random_detector"))
             try:
                 from objcavit_tpu.language.provider import YoloClipObjectProvider
 
-                return YoloClipObjectProvider(args, self.n_obj_max)
+                return YoloClipObjectProvider(
+                    args, self.n_obj_max, allow_random=allow_random
+                )
             except Exception as e:  # no detector/CLIP weights in this image
+                from objcavit_tpu.errors import MissingAssetError
+
+                if isinstance(e, MissingAssetError) and not allow_random:
+                    raise
                 logger.warning(
                     "CLIP/YOLO provider unavailable (%s); using stub detections", e
                 )
@@ -381,7 +392,14 @@ class Trainer:
         """Recompute batch_stats under the (averaged) params in ``state``:
         equal-weight average of per-batch raw BN statistics over up to one
         epoch of train batches (update_bn's momentum=None cumulative
-        average). Returns ``state`` unchanged for BN-free models."""
+        average). Returns ``state`` unchanged for BN-free models.
+
+        A final PARTIAL batch is skipped: the loader pads it with wrapped
+        duplicates and BN statistics cannot be sample-masked, so feeding it
+        would double-count the pad samples; torch's update_bn instead sees
+        the true (smaller) final batch. Both choices perturb the cumulative
+        average by O(1/steps_per_epoch); skipping keeps every contribution
+        an honest full batch."""
         if not state.batch_stats:
             return state
         refresh = jax.jit(
@@ -395,6 +413,9 @@ class Trainer:
         for i, (batch, _meta) in enumerate(loader):
             if i >= max_batches:
                 break
+            sv = batch.get("sample_valid")
+            if sv is not None and not bool(np.all(np.asarray(sv))):
+                continue  # padded tail batch — see docstring
             rng, r = jax.random.split(rng)
             stat = refresh(
                 state.params, zeros, batch, batch.get("objects"), r

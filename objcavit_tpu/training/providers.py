@@ -92,7 +92,10 @@ class StubObjectProvider(SlotSizing):
         n_max = self.slots(images_normed)
         rng = np.random.default_rng(self.seed + self._count)
         self._count += 1
-        n_obj = rng.integers(0, min(n_max, 32), size=b)
+        # scale stub counts with capacity so large-slot regimes (300 NYU /
+        # 418 KITTI) exercise the object-rich gather branch, not just the
+        # first 32 slots (advisor r4): cap grows as 32 + n_max // 8
+        n_obj = rng.integers(0, min(n_max, 32 + n_max // 8), size=b)
         xywh = np.full((b, n_max, 4), -1.0, np.float32)
         valid = np.zeros((b, n_max), bool)
         feats = np.zeros((b, n_max, self.obj_dim), np.float32)
