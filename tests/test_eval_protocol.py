@@ -70,3 +70,52 @@ def test_batched_flip_tta_equals_two_sequential_passes():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_prediction_artifacts_golden_format(tmp_path):
+    """Pin predict-mode artifact formats against the reference writer
+    (GraphBinsLM.py:285-428 + on_predict_end): prediction_metrics.csv has
+    pandas to_csv(orient='index') shape — a leading unnamed index column,
+    then batch_idx, filenames, the 8 pixel metrics, the 8 _ra metrics, and
+    loss, in exactly the reference's insertion order — and the per-image
+    files follow the {batch_idx}_{kind} naming scheme (VERDICT r4 #8)."""
+    import csv
+    import os
+
+    from objcavit_tpu.config import Config
+    from objcavit_tpu.training.loop import Trainer
+    from tests.test_train_loop import _make_args
+
+    args = _make_args(tmp_path)
+    args.predict_output_dir = str(tmp_path / "predict_out")
+    rows = Trainer(args).predict()
+    assert rows, "predict produced no rows"
+
+    csv_path = os.path.join(str(tmp_path / "predict_out"),
+                            "prediction_metrics.csv")
+    with open(csv_path, newline="") as f:
+        got_rows = list(csv.reader(f))
+    # exact reference column sequence (GraphBinsLM.py:374-400 insertion
+    # order; pandas on_predict_end writes the dict keys + an unnamed index)
+    want_header = (
+        ["", "batch_idx", "image_filename", "depth_gt_filename"]
+        + ["abs_rel", "sq_rel", "rmse", "rmse_log", "log10",
+           "acc_1", "acc_2", "acc_3"]
+        + ["abs_rel_ra", "sq_rel_ra", "rmse_ra", "rmse_log_ra", "log10_ra",
+           "acc_1_ra", "acc_2_ra", "acc_3_ra"]
+        + ["loss"]
+    )
+    assert got_rows[0] == want_header
+    # index column counts 0..N-1 and batch_idx matches it (bs=1 protocol)
+    for i, row in enumerate(got_rows[1:]):
+        assert row[0] == str(i) and row[1] == str(i)
+        assert len(row) == len(want_header)
+        for v in row[4:]:
+            float(v)  # every metric cell parses as a number
+
+    # per-image artifact naming (reference predict_step:343-372; raw tensors
+    # are .npy here instead of torch-pickle .pkl — documented divergence)
+    out = str(tmp_path / "predict_out")
+    for kind in ("im.png", "depth_gt.png", "depth_pred.png",
+                 "depth_gt_raw.npy", "depth_pred_raw.npy"):
+        assert os.path.exists(os.path.join(out, f"0_{kind}")), kind
