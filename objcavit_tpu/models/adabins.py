@@ -25,6 +25,7 @@ class AdaBins(nn.Module):
     max_depth: float = 10.0
     do_final_upscale: bool = False
     drop_path_rate: float = 0.0
+    dropout_rate: float = 0.1  # transformer dropout (torch default)
     fold_bn: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
@@ -42,7 +43,8 @@ class AdaBins(nn.Module):
         bin_widths_normed, feat, queries = MiniViT(
             in_channels=128, n_query_channels=128, patch_size=16,
             dim_out=self.n_bins, embed_dim=128, norm="linear",
-            max_seq_len=max_seq_len, dtype=self.dtype, attn_impl=self.attn_impl,
+            max_seq_len=max_seq_len, dropout_rate=self.dropout_rate,
+            dtype=self.dtype, attn_impl=self.attn_impl,
             name="adaptive_bins_layer",
         )(unet_out, deterministic=not train)
 

@@ -162,6 +162,57 @@ class ConvParams(nn.Module):
         return kernel, bias
 
 
+class _TorchBN(nn.Module):
+    """Torch-exact BatchNorm core (same variable layout as flax nn.BatchNorm:
+    params {scale, bias}, batch_stats {mean, var}).
+
+    flax nn.BatchNorm updates the running VARIANCE with the biased batch
+    variance; torch.nn.BatchNorm2d normalises with the biased variance but
+    tracks the UNBIASED (Bessel-corrected, n/(n-1)) one in running_var
+    (torch functional.batch_norm semantics). The factor is tiny for the
+    depth model's spatial BNs (n = B*H*W) but it is exactly the kind of
+    drift the multi-step trajectory oracle pins — so the update here is
+    torch-exact. Pinned by tests/test_trajectory_oracle.py::test_bn_momentum
+    against torch.nn.BatchNorm2d(momentum=0.1)."""
+
+    epsilon: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        # flax nn.BatchNorm op order: mul = rsqrt(var + eps) * scale, then
+        # (x - mean) * mul + bias — kept so eval-mode outputs are bit-equal
+        # to the previous wrapper and the forward oracles' tolerances hold
+        d = self.dtype
+        mul = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(d)
+        return (x.astype(d) - mean.astype(d)) * mul + bias.astype(d)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d matching torch semantics (eps/momentum configurable)."""
 
@@ -171,13 +222,12 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
-        return nn.BatchNorm(
-            use_running_average=use_running_average,
-            momentum=1.0 - self.momentum,
+        return _TorchBN(
             epsilon=self.epsilon,
+            momentum=self.momentum,
             dtype=self.dtype,
             name="bn",
-        )(x)
+        )(x, use_running_average)
 
 
 def drop_path(x, rate: float, deterministic: bool, rng=None):

@@ -37,6 +37,7 @@ class GraphBins(nn.Module):
     dims_train: tuple = (416, 544)
     dims_test: tuple = (480, 640)
     drop_path_rate: float = 0.0
+    dropout_rate: float = 0.1  # transformer dropout (torch default)
     fold_bn: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
@@ -63,8 +64,8 @@ class GraphBins(nn.Module):
             embed_dim=self.embedding_dim, norm="linear",
             pos_strategy=self.pos_strategy, no_obj_sa=self.no_obj_sa,
             use_2_saca=self.use_2_saca, dims_train=self.dims_train,
-            dims_test=self.dims_test, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="objcavit",
+            dims_test=self.dims_test, dropout_rate=self.dropout_rate,
+            dtype=self.dtype, attn_impl=self.attn_impl, name="objcavit",
         )(dense, object_features, object_xywh, object_valid,
           deterministic=not train)
 

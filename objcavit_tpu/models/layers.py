@@ -132,6 +132,7 @@ class PatchTransformerEncoder(nn.Module):
     embed_dim: int = 128
     num_heads: int = 4
     max_seq_len: int = 500
+    dropout_rate: float = 0.1  # torch TransformerEncoderLayer default
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
 
@@ -149,7 +150,8 @@ class PatchTransformerEncoder(nn.Module):
         )
         emb = emb + pos[:s].astype(self.dtype)[None]
         return TransformerEncoder(
-            4, self.embed_dim, self.num_heads, 1024, dtype=self.dtype,
+            4, self.embed_dim, self.num_heads, 1024,
+            dropout_rate=self.dropout_rate, dtype=self.dtype,
             attn_impl=self.attn_impl, name="transformer",
         )(emb, deterministic=deterministic)
 

@@ -29,6 +29,7 @@ class MiniViT(nn.Module):
     num_heads: int = 4
     norm: str = "linear"
     max_seq_len: int = 500
+    dropout_rate: float = 0.1  # torch TransformerEncoderLayer default
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
 
@@ -36,7 +37,8 @@ class MiniViT(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         tgt = PatchTransformerEncoder(
             self.in_channels, self.patch_size, self.embed_dim, self.num_heads,
-            self.max_seq_len, dtype=self.dtype, attn_impl=self.attn_impl,
+            self.max_seq_len, dropout_rate=self.dropout_rate,
+            dtype=self.dtype, attn_impl=self.attn_impl,
             name="patch_transformer",
         )(x, deterministic)  # (B, S, E)
         feat = TorchConv(

@@ -155,6 +155,7 @@ class SelfAttnCrossAttn(nn.Module):
     num_heads: int = 4
     dim_feedforward: int = 1024
     no_obj_sa: bool = False
+    dropout_rate: float = 0.1  # torch TransformerEncoderLayer default
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
 
@@ -167,7 +168,8 @@ class SelfAttnCrossAttn(nn.Module):
 
         attended_image = TransformerEncoder(
             4, self.embed_dim, self.num_heads, self.dim_feedforward,
-            dtype=self.dtype, attn_impl=self.attn_impl, name="image_transformer",
+            dropout_rate=self.dropout_rate, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="image_transformer",
         )(image_emb, deterministic=deterministic)
 
         if self.no_obj_sa:
@@ -175,7 +177,8 @@ class SelfAttnCrossAttn(nn.Module):
         else:
             attended_obj = TransformerEncoder(
                 4, self.embed_dim, self.num_heads, self.dim_feedforward,
-                dtype=self.dtype, attn_impl=self.attn_impl, name="obj_transformer",
+                dropout_rate=self.dropout_rate, dtype=self.dtype,
+                attn_impl=self.attn_impl, name="obj_transformer",
             )(obj_emb, key_padding_mask=obj_pad_mask, deterministic=deterministic)
 
         amt = s - n
@@ -235,6 +238,7 @@ class ObjCAViT(nn.Module):
     use_2_saca: bool = False
     dims_train: tuple = (416, 544)
     dims_test: tuple = (480, 640)
+    dropout_rate: float = 0.1  # torch TransformerEncoderLayer default
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
 
@@ -315,14 +319,16 @@ class ObjCAViT(nn.Module):
         # --- attention --------------------------------------------------------
         img_emb, obj_out = SelfAttnCrossAttn(
             self.embed_dim, self.num_heads, 1024, no_obj_sa=self.no_obj_sa,
-            dtype=self.dtype, attn_impl=self.attn_impl, name="saca_1",
+            dropout_rate=self.dropout_rate, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="saca_1",
         )(img_emb, obj_emb, obj_pad_mask, deterministic)
         if self.use_2_saca:
             # second SACA sees the (B, S, E) cross-attended objects with an
             # all-valid mask (reference builds fresh zero masks, :180-183)
             img_emb, obj_out = SelfAttnCrossAttn(
                 self.embed_dim, self.num_heads, 1024, no_obj_sa=self.no_obj_sa,
-                dtype=self.dtype, attn_impl=self.attn_impl, name="saca_2",
+                dropout_rate=self.dropout_rate, dtype=self.dtype,
+                attn_impl=self.attn_impl, name="saca_2",
             )(img_emb, obj_out, jnp.zeros(obj_out.shape[:2], dtype=bool),
               deterministic)
 

@@ -93,6 +93,43 @@ def build_model(args: Any, dtype=jnp.float32, attn_impl: str = "xla"):
     raise ValueError(f"unrecognised model: {name}")
 
 
+def make_train_loss_fn(
+    model,
+    loss_wrapper: LossWrapper,
+    min_depth: float,
+    augment_on_device: bool,
+    is_graphbins: bool,
+) -> Callable:
+    """The train step's loss closure, exposed standalone so the multi-chip
+    dryrun / DP-equivalence tests can jax.grad EXACTLY the arithmetic the
+    train step differentiates (not a re-implementation that could drift):
+    fn(params, batch_stats, batch, objects, rng) -> (loss, new_batch_stats).
+    """
+
+    def loss_fn(params, batch_stats, batch, objects, rng):
+        image, depth_gt = batch["image"], batch["depth"]
+        if augment_on_device:
+            aug_rng, rng = jax.random.split(rng)
+            image, depth_gt = augment_batch(aug_rng, image, depth_gt)
+        inputs = (image,)
+        if is_graphbins:
+            inputs = (
+                image, objects["features"], objects["xywh"], objects["valid"],
+            )
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(
+            variables, *inputs, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng, "droppath": jax.random.fold_in(rng, 1)},
+        )
+        depth_mask = depth_gt > min_depth  # train mask: min only
+        loss = loss_wrapper(
+            out["depth_pred"], depth_gt, depth_mask, out["bin_edges"]
+        )
+        return loss, mutated["batch_stats"]
+
+    return loss_fn
+
+
 def make_train_step(
     model,
     tx,
@@ -103,28 +140,13 @@ def make_train_step(
 ) -> Callable:
     """Returns jittable fn(state, batch, objects, rng) -> (state, loss)."""
 
-    def train_step(state, batch, objects, rng):
-        image, depth_gt = batch["image"], batch["depth"]
-        if augment_on_device:
-            aug_rng, rng = jax.random.split(rng)
-            image, depth_gt = augment_batch(aug_rng, image, depth_gt)
+    loss_fn_full = make_train_loss_fn(
+        model, loss_wrapper, min_depth, augment_on_device, is_graphbins
+    )
 
+    def train_step(state, batch, objects, rng):
         def loss_fn(params):
-            inputs = (image,)
-            if is_graphbins:
-                inputs = (
-                    image, objects["features"], objects["xywh"], objects["valid"],
-                )
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            out, mutated = model.apply(
-                variables, *inputs, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng, "droppath": jax.random.fold_in(rng, 1)},
-            )
-            depth_mask = depth_gt > min_depth  # train mask: min only
-            loss = loss_wrapper(
-                out["depth_pred"], depth_gt, depth_mask, out["bin_edges"]
-            )
-            return loss, mutated["batch_stats"]
+            return loss_fn_full(params, state.batch_stats, batch, objects, rng)
 
         (loss, new_batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True

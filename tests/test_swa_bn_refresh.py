@@ -61,9 +61,13 @@ def test_bn_refresh_step_recovers_true_batch_statistics():
             else jax.tree.map(lambda a, b: a + (b - a) / k, acc, stat)
         )
 
-    # oracle: update_bn's cumulative average of per-batch mean / (biased) var
+    # oracle: update_bn's cumulative average of per-batch mean / var; torch
+    # BN tracks the UNBIASED (ddof=1 over the n=B*H*W reduced elements)
+    # variance in running_var — models/common._TorchBN matches it exactly
     want_mean = np.mean([x.mean(axis=(0, 1, 2)) for x in batches], axis=0)
-    want_var = np.mean([x.var(axis=(0, 1, 2)) for x in batches], axis=0)
+    want_var = np.mean(
+        [x.reshape(-1, 3).var(axis=0, ddof=1) for x in batches], axis=0
+    )
     np.testing.assert_allclose(
         np.asarray(acc["bn"]["bn"]["mean"]), want_mean, rtol=1e-5, atol=1e-6
     )
