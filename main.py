@@ -77,6 +77,22 @@ def main():
     logging.info("Starting (model=%s dataset=%s name=%s)",
                  args.model.name, args.basic.dataset, args.basic.name)
 
+    # multi-host launch: join the slice described by OBJCAVIT_COORDINATOR /
+    # _NUM_PROCESSES / _PROCESS_ID (no-op when unset — single host). Must
+    # run before the first backend use. The reference's analogue is
+    # Lightning DDP's per-GPU process spawn (main.py:129-131); here one
+    # process drives each HOST's chips. See docs/MIGRATION.md.
+    from objcavit_tpu.parallel.distributed import initialize_distributed
+
+    if initialize_distributed():
+        import jax
+
+        logging.info(
+            "distributed: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
+
     import jax.numpy as jnp
 
     from objcavit_tpu.training.loop import Trainer

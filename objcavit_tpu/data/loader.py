@@ -17,6 +17,10 @@ from typing import Any, Iterator
 
 import numpy as np
 
+from objcavit_tpu.parallel.distributed import (
+    process_local_indices,
+    shard_host_local_batch,
+)
 from objcavit_tpu.parallel.mesh import shard_batch
 
 
@@ -53,6 +57,23 @@ class DeviceLoader:
         self.synchronous = synchronous
         self.epoch = 0
         self._rng = np.random.default_rng(seed)
+        # multi-process (multi-host) run: every process sees the SAME global
+        # batch schedule (same seed -> same shuffle) but loads only its
+        # [process_id::process_count] rows of each batch, then assembles the
+        # global device batch from the local shards
+        # (parallel/distributed.shard_host_local_batch). torch
+        # DistributedSampler semantics, what Lightning DDP gave the
+        # reference's loaders (main.py:129-131).
+        import jax
+
+        self._pid = jax.process_index()
+        self._pc = jax.process_count()
+        if self._pc > 1 and batch_size % self._pc != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide the "
+                f"{self._pc}-process run (each process loads "
+                f"batch_size/process_count samples)"
+            )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -81,6 +102,9 @@ class DeviceLoader:
                     valid = np.ones(len(idxs), bool)
             else:
                 valid = np.ones(len(idxs), bool)
+            if self._pc > 1:  # this process's interleave of the global batch
+                idxs = process_local_indices(idxs, self._pid, self._pc)
+                valid = process_local_indices(valid, self._pid, self._pc)
             fast = None
             if hasattr(self.dataset, "get_batch"):
                 # native threaded batch assembly (csrc assemble_batch_f32);
@@ -114,11 +138,16 @@ class DeviceLoader:
             meta[k] = extra.pop(k)
         batch.update(extra)
 
+    def _put(self, batch):
+        if self._pc > 1:
+            return shard_host_local_batch(self.mesh, batch)
+        return shard_batch(self.mesh, batch)
+
     def __iter__(self):
         if self.synchronous:
             for batch, meta in self._host_batches():
                 self._apply_hook(batch, meta)
-                yield shard_batch(self.mesh, batch), meta
+                yield self._put(batch), meta
             self.epoch += 1
             return
 
@@ -129,7 +158,7 @@ class DeviceLoader:
             try:
                 for batch, meta in self._host_batches():
                     self._apply_hook(batch, meta)
-                    q.put((shard_batch(self.mesh, batch), meta))
+                    q.put((self._put(batch), meta))
                 q.put(stop)
             except BaseException as e:  # surface errors to the consumer
                 q.put(e)

@@ -1,3 +1,10 @@
+from objcavit_tpu.parallel.distributed import (
+    initialize_distributed,
+    is_main_process,
+    process_local_indices,
+    resolve_distributed_args,
+    shard_host_local_batch,
+)
 from objcavit_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -18,4 +25,9 @@ __all__ = [
     "tp_shard_params",
     "tp_spec_for",
     "count_tp_sharded",
+    "initialize_distributed",
+    "is_main_process",
+    "process_local_indices",
+    "resolve_distributed_args",
+    "shard_host_local_batch",
 ]

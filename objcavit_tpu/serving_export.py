@@ -82,8 +82,10 @@ def export_pipeline(pipeline, frames_shape, *, platforms=None,
         })
 
         def call(weights, frames_u8):
+            # [0]: the fused program also returns NMS-pool saturation meta
+            # (n_candidates, pre_topk); exported artifacts serve depth only
             return run(weights["variables"], weights["detector_params"],
-                       weights["class_table"], frames_u8)
+                       weights["class_table"], frames_u8)[0]
 
     elif isinstance(pipeline, DepthPipeline):
         if pipeline.provider is not None:

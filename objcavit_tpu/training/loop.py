@@ -93,6 +93,13 @@ class Trainer:
             self.n_obj_max = int(self.n_obj_max)
         # num_workers == 0 (debug) -> synchronous loading, reference semantics
         self.sync_loading = int(args.hardware.get("num_workers", 0) or 0) == 0
+        # multi-host: run-dir artifacts (checkpoints, hparams, TB scalars,
+        # validation_output.txt) are written by host 0 only — Lightning
+        # rank-zero semantics; every process still computes the (replicated)
+        # metrics and losses
+        from objcavit_tpu.parallel.distributed import is_main_process
+
+        self.is_main = is_main_process()
         self.provider = self._build_provider()
 
     def _build_provider(self):
@@ -211,7 +218,8 @@ class Trainer:
         resume_dir = self._find_resume_dir(run_base) if resume else None
         run_dir = resume_dir or _next_version_dir(run_base)
         ckpt = CheckpointManager(run_dir)
-        ckpt.save_hparams(args)
+        if self.is_main:
+            ckpt.save_hparams(args)
         logger.info("run dir: %s%s", run_dir, " (resuming)" if resume_dir else "")
 
         train_ds = make_dataset(args, "train")
@@ -308,7 +316,7 @@ class Trainer:
                 swa_params, swa_count = restored_swa
                 logger.info("resumed SWA average (count=%d)", swa_count)
         last_metrics = {}
-        writer = self._tb_writer(run_dir)
+        writer = self._tb_writer(run_dir) if self.is_main else None
         step = int(state.step)
         last_train_batch = None
         for epoch in range(start_epoch, max_epochs):
@@ -349,7 +357,8 @@ class Trainer:
                 # persisted so kill-and-resume keeps averaging from here; the
                 # recorded step lets resume discard an average that is AHEAD
                 # of the restorable 'last' state (see restore_swa)
-                ckpt.save_swa(swa_params, swa_count, step=step)
+                if self.is_main:
+                    ckpt.save_swa(swa_params, swa_count, step=step)
 
             # training-batch figure per epoch (GraphBinsLM.py:149-151)
             if writer and last_train_batch is not None:
@@ -372,7 +381,8 @@ class Trainer:
                         fam = "metrics_ra" if k.endswith("_ra") else "metrics"
                         writer.add_scalar(f"{fam}/{k}", v, step)
                     self._log_sample_figure(writer, "val/samples", last_batch, step)
-                ckpt.save(state, abs_rel=last_metrics["abs_rel"])
+                if self.is_main:
+                    ckpt.save(state, abs_rel=last_metrics["abs_rel"])
 
         if swa_cfg and swa_params is not None:
             state = state.replace(params=swa_params)
@@ -384,7 +394,8 @@ class Trainer:
             state = self._refresh_swa_batch_stats(
                 state, train_loader, steps_per_epoch
             )
-            ckpt.save(state, abs_rel=None)
+            if self.is_main:
+                ckpt.save(state, abs_rel=None)
         self.last_metrics = last_metrics
         return state, last_metrics
 
@@ -469,11 +480,12 @@ class Trainer:
             limit=1 if self.debug else None,
         )
         out_dir = args.get("val_output_dir", ".")
-        os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, "validation_output.txt"), "w") as f:
-            f.write(args.basic.name)
-            f.write(str([metrics]))
-            f.write(_metrics_log_str(metrics))
+        if self.is_main:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "validation_output.txt"), "w") as f:
+                f.write(args.basic.name)
+                f.write(str([metrics]))
+                f.write(_metrics_log_str(metrics))
         print(_metrics_log_str(metrics))
         return metrics
 

@@ -92,7 +92,7 @@ def build_flagship(
     from objcavit_tpu.models import GraphBins
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
-    kw = flagship_kwargs(attn_impl)
+    kw = {**flagship_kwargs(attn_impl), "dims_test": (h, w)}
     rng = np.random.default_rng(seed)
     img = jnp.asarray(rng.standard_normal((batch, h, w, 3)).astype(np.float32))
     feats = jnp.asarray(rng.standard_normal((batch, n_obj, 512)).astype(np.float32))

@@ -136,7 +136,7 @@ def _measure_fused(n_obj, det_topk, pre_topk, batch=128):
     def run():
         holder["p"] = fn(
             pipe.variables, pipe.detector_params, pipe.class_table, frames
-        )
+        )[0]
         return holder["p"]
 
     def sync(_=None):

@@ -77,7 +77,7 @@ def main():
         def run():
             out_holder["o"] = c(
                 pipe.variables, pipe.detector_params, pipe.class_table, frames
-            )
+            )[0]
             return out_holder["o"]
 
         def sync(_=None):

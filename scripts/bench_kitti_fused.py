@@ -80,7 +80,7 @@ def main():
         def run(c=c, frames=frames):
             hold["o"] = c(
                 pipe.variables, pipe.detector_params, pipe.class_table, frames
-            )
+            )[0]
             return hold["o"]
 
         def sync(_=None):

@@ -62,7 +62,7 @@ def main():
         def run():
             holder["o"] = fn(
                 pipe.variables, pipe.detector_params, pipe.class_table, frames
-            )
+            )[0]
             return holder["o"]
 
         def sync(_=None):

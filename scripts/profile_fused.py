@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--only-fused", action="store_true",
                     help="time only the fused pipeline (each extra program "
                     "costs minutes of tunnel compile time)")
+    ap.add_argument("--dims", default="480,640",
+                    help="eval dims h,w — 480,640 NYU / 352,1216 KITTI "
+                    "kb-crop (basicParams.yaml:136-157)")
+    ap.add_argument("--class-max", default=None, choices=["0", "1"],
+                    help="force the fused class-max detect head off/on "
+                    "(default: auto gate by anchor count)")
     args = ap.parse_args()
 
     from objcavit_tpu.utils.jit_cache import enable as enable_cache
@@ -59,7 +65,12 @@ def main():
     from objcavit_tpu.utils.benchkit import best_of, build_flagship, flagship_kwargs
     from objcavit_tpu.utils.fold_bn import fold_batchnorm
 
-    h, w, n_obj = 480, 640, 300  # round-4 capacity parity
+    h, w = (int(x) for x in args.dims.split(","))
+    # round-4 capacity parity: min(max_det 1000, image seq len)
+    from objcavit_tpu.training.steps import image_seq_len
+
+    n_obj = min(1000, image_seq_len(h, w))  # 300 NYU / 418 KITTI
+    class_max = None if args.class_max is None else args.class_max == "1"
     num_classes = 1203
     rng = np.random.default_rng(0)
 
@@ -67,7 +78,7 @@ def main():
     batches = [int(b) for b in args.batches.split(",")]
     bmax = max(batches)
     fwd, (folded, img, feats, xywh, valid) = build_flagship(bmax, h, w, n_obj)
-    kw = flagship_kwargs()
+    kw = {**flagship_kwargs(), "dims_test": (h, w)}
     fmodel = GraphBins(**kw, fold_bn=True)
 
     det_init = Yolov7Seg(num_classes=num_classes)
@@ -105,7 +116,7 @@ def main():
         # fused pipeline
         pipe = FusedDepthPipeline(
             fmodel, folded, det_model, det_params, table,
-            eval_dims=(h, w), n_obj_max=n_obj,
+            eval_dims=(h, w), n_obj_max=n_obj, class_max_head=class_max,
         )
 
         def run_pipe():

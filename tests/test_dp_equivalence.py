@@ -102,7 +102,7 @@ def test_sharded_train_grads_equal_single_device():
     np.testing.assert_allclose(
         float(loss_n), float(loss_1), rtol=1e-5, err_msg="global-batch loss"
     )
-    _tree_allclose(grads_n, grads_1, rtol=1e-3, atol=1e-8, tag="grad")
+    _tree_allclose(grads_n, grads_1, rtol=1e-3, atol=1e-7, tag="grad")
 
     # global direction agreement (catches a uniform wrong-mean scale that
     # per-leaf norm ratios would also catch, but cheaply readable)
@@ -150,12 +150,44 @@ def test_sharded_full_step_params_equal_single_device():
                       shard_batch(mesh, objects), rng)
 
     np.testing.assert_allclose(float(loss_n), float(loss_1), rtol=1e-5)
-    # updated params: AdamW normalises the gradient, so the tolerance rides
-    # the update scale (lr/div_factor ~1.4e-5); systematic reduction bugs
-    # show up through the clip norm + adam moments at O(update) scale
-    _tree_allclose(sn.params, s1.params, rtol=1e-4, atol=3e-7,
-                   tag="updated param")
-    _tree_allclose(sn.batch_stats, s1.batch_stats, rtol=1e-4, atol=1e-8,
+
+    # updated params: AdamW's first-step update is ~ -lr0 * g/(|g| + eps) —
+    # for leaves whose gradient is MATHEMATICALLY zero (a conv bias feeding
+    # straight into BatchNorm), g is reduction-order noise (~1e-9) and the
+    # update's SIGN is noise-determined, so sharded and single-device runs
+    # legitimately differ by O(lr0) there. Skip those leaves (the grads
+    # test above is the real reduction-bug detector); every leaf with a
+    # real gradient must agree at fp tolerance.
+    loss_fn = make_train_loss_fn(
+        model, LossWrapper(["silog", "bins_chamfer"], [1, 0.1]),
+        min_depth=0.001, augment_on_device=True, is_graphbins=True,
+    )
+    _, g1 = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+        jax.tree.map(jnp.asarray, params0), jax.tree.map(jnp.asarray, stats0),
+        jax.tree.map(jnp.asarray, batch), jax.tree.map(jnp.asarray, objects),
+        rng,
+    )
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(g1)[0])
+    fp_n = dict(jax.tree_util.tree_flatten_with_path(sn.params)[0])
+    fp_1 = dict(jax.tree_util.tree_flatten_with_path(s1.params)[0])
+    assert set(fp_n) == set(fp_1)
+    n_checked = n_noise = 0
+    for path in sorted(fp_n, key=str):
+        if np.linalg.norm(np.asarray(flat_g[path], np.float64)) < 1e-6:
+            n_noise += 1  # zero-math-grad leaf: update sign is noise
+            continue
+        g = np.asarray(fp_n[path], np.float64)
+        w = np.asarray(fp_1[path], np.float64)
+        err = np.linalg.norm(g - w)
+        ref = np.linalg.norm(w)
+        assert err <= 1e-4 * ref + 3e-7, (
+            f"updated param {jax.tree_util.keystr(path)}: "
+            f"||diff||={err:.3e} vs ||ref||={ref:.3e}"
+        )
+        n_checked += 1
+    assert n_checked > 100, (n_checked, n_noise)  # the comparison has teeth
+    # atol floors out channels whose true batch mean is ~0 (reduction noise)
+    _tree_allclose(sn.batch_stats, s1.batch_stats, rtol=1e-4, atol=1e-6,
                    tag="updated BN stat")
 
 
