@@ -40,6 +40,12 @@ class CheckpointManager:
     def _write_meta(self, **updates) -> None:
         import json
 
+        from objcavit_tpu.parallel.distributed import is_main_process
+
+        if not is_main_process():
+            # multihost: orbax saves are collective (every process calls
+            # them) but meta.json is a plain file — rank-zero writes it
+            return
         meta = self._meta()
         meta.update(updates)
         path = self._meta_path()

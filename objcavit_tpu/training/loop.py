@@ -216,7 +216,28 @@ class Trainer:
             resume = bool(args.basic.get("auto_resume"))
         run_base = os.path.join(args.paths.run_dir, args.basic.name)
         resume_dir = self._find_resume_dir(run_base) if resume else None
-        run_dir = resume_dir or _next_version_dir(run_base)
+        run_dir = resume_dir
+        if run_dir is None:
+            import jax as _jax
+
+            if _jax.process_count() > 1 and not self.is_main:
+                # multihost (shared run filesystem): rank zero creates the
+                # new version_N dir; other ranks join it after the barrier
+                # instead of racing _next_version_dir to version_N+1
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("objcavit_run_dir")
+                versions = [
+                    int(d.split("_")[1]) for d in os.listdir(run_base)
+                    if d.startswith("version_") and d.split("_")[1].isdigit()
+                ]
+                run_dir = os.path.join(run_base, f"version_{max(versions)}")
+            else:
+                run_dir = _next_version_dir(run_base)
+                if _jax.process_count() > 1:
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices("objcavit_run_dir")
         ckpt = CheckpointManager(run_dir)
         if self.is_main:
             ckpt.save_hparams(args)
@@ -357,8 +378,10 @@ class Trainer:
                 # persisted so kill-and-resume keeps averaging from here; the
                 # recorded step lets resume discard an average that is AHEAD
                 # of the restorable 'last' state (see restore_swa)
-                if self.is_main:
-                    ckpt.save_swa(swa_params, swa_count, step=step)
+                # NOTE all processes call orbax saves: its multihost
+                # protocol barriers across hosts (a host-0-only call would
+                # deadlock); plain-file writes inside stay rank-zero
+                ckpt.save_swa(swa_params, swa_count, step=step)
 
             # training-batch figure per epoch (GraphBinsLM.py:149-151)
             if writer and last_train_batch is not None:
@@ -381,8 +404,7 @@ class Trainer:
                         fam = "metrics_ra" if k.endswith("_ra") else "metrics"
                         writer.add_scalar(f"{fam}/{k}", v, step)
                     self._log_sample_figure(writer, "val/samples", last_batch, step)
-                if self.is_main:
-                    ckpt.save(state, abs_rel=last_metrics["abs_rel"])
+                ckpt.save(state, abs_rel=last_metrics["abs_rel"])
 
         if swa_cfg and swa_params is not None:
             state = state.replace(params=swa_params)
@@ -394,8 +416,7 @@ class Trainer:
             state = self._refresh_swa_batch_stats(
                 state, train_loader, steps_per_epoch
             )
-            if self.is_main:
-                ckpt.save(state, abs_rel=None)
+            ckpt.save(state, abs_rel=None)
         self.last_metrics = last_metrics
         return state, last_metrics
 
@@ -576,6 +597,11 @@ class Trainer:
         batch of the epoch (reference training_epoch_end,
         GraphBinsLM.py:149-151). One extra no-TTA forward per epoch, compiled
         once (train shapes are static)."""
+        if jax.process_count() > 1:
+            # multihost: the global batch spans processes — host-fetching it
+            # for matplotlib is impossible, and the extra figure forward
+            # would be a collective program other ranks don't run
+            return
         try:
             if not hasattr(self, "_train_fig_fwd"):
                 def fwd(params, batch_stats, image, objects):
@@ -604,6 +630,8 @@ class Trainer:
         """RGB / GT / prediction (+ detections) grid to TensorBoard
         (FigureBuilder.py:64-125; detections column when a live detector
         provided annotations)."""
+        if jax.process_count() > 1:
+            return  # global batch spans processes (see _log_train_figure)
         if last_batch is None:
             return
         try:

@@ -168,3 +168,73 @@ def test_two_process_distributed_run(tmp_path):
     assert lines[0].startswith("OK 0") and lines[1].startswith("OK 1"), lines
     # both processes computed the SAME synced metric (replicated result)
     assert lines[0].split("abs_rel=")[1] == lines[1].split("abs_rel=")[1]
+
+
+_FIT_WORKER = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); n_proc = int(sys.argv[2]); port = sys.argv[3]
+    run_dir = sys.argv[4]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from objcavit_tpu.parallel import initialize_distributed
+    assert initialize_distributed(f"127.0.0.1:{port}", n_proc, pid)
+
+    import numpy as np
+    import yaml
+    from objcavit_tpu.config import Config
+    from objcavit_tpu.training.loop import Trainer
+    from tests.test_train_loop import TINY
+
+    cfg = yaml.safe_load(yaml.safe_dump(TINY))
+    cfg["paths"]["run_dir"] = run_dir
+    args = Config(cfg)
+    t = Trainer(args)
+    state, metrics = t.fit()
+    assert int(state.step) == 1
+    assert np.isfinite(metrics["abs_rel"])
+    print(f"OK {pid} step={int(state.step)} abs_rel={metrics['abs_rel']:.6f}",
+          flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_fit_end_to_end(tmp_path):
+    """The WHOLE training loop under a 2-process global mesh: per-process
+    data loading (DeviceLoader interleave + shard_host_local_batch), the
+    sharded train step with cross-process gradient collectives, in-fit
+    validation with metric sync, collective orbax checkpointing with
+    rank-zero meta/hparams writes, and the race-safe run-dir agreement."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "fit_worker.py"
+    script.write_text(_FIT_WORKER)
+    run_dir = str(tmp_path / "runs")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(p), "2", str(port), run_dir],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for p in range(2)
+    ]
+    outs = [p.communicate(timeout=960) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"fit worker failed:\n{out}\n{err[-4000:]}"
+    lines = sorted(o.strip().splitlines()[-1] for o, _ in outs)
+    assert lines[0].startswith("OK 0") and lines[1].startswith("OK 1"), lines
+    # same replicated metrics on both ranks
+    assert lines[0].split("abs_rel=")[1] == lines[1].split("abs_rel=")[1]
+    # ONE version dir (no race), with rank-zero artifacts + the checkpoint
+    base = os.path.join(run_dir, "tiny")
+    versions = sorted(os.listdir(base))
+    assert versions == ["version_0"], versions
+    v0 = os.path.join(base, "version_0")
+    assert os.path.exists(os.path.join(v0, "hparams.yaml"))
+    assert os.path.isdir(os.path.join(v0, "checkpoints", "last"))
