@@ -363,9 +363,13 @@ class FusedDepthPipeline:
             raise ValueError(f"det_scale must be in (0, 1], got {det_scale}")
         self.det_scale = float(det_scale)
         self._fns = {}
-        # candidate-pool saturation observability (see __call__)
+        self._static_meta = {}
+        # candidate-pool saturation observability (see
+        # _check_pending_saturation); interval 1 = check every call
         self.last_det_meta = None
         self._pending_sat = None
+        self.saturation_check_interval = 32
+        self._sat_calls = 0
 
     def _build(self, in_shape):
         from objcavit_tpu.models.yolov7 import (
@@ -469,22 +473,33 @@ class FusedDepthPipeline:
                                    train=False)
             # n_candidates rides along for saturation observability
             # (no-silent-caps): anchors above conf_thres per detector frame
-            # vs the pre_topk pool that capped them
+            # vs the pre_topk pool that capped them. pre_topk itself is
+            # static per program — stashed host-side at trace time.
+            static_meta["pre_topk"] = pre_topk
             return (
                 out["depth_pred"],
                 det["n_candidates"],
                 jnp.asarray(pre_topk, jnp.int32),
             )
 
+        static_meta = self._static_meta.setdefault(tuple(in_shape), {})
         return jax.jit(run)
 
     def _check_pending_saturation(self):
-        """Deferred pool-saturation warning: inspects the PREVIOUS call's
-        candidate counts (device work long since complete — reading them now
-        costs no pipeline stall, unlike a same-call sync on the latency
-        path) and logs when the pre_topk pool dropped candidates."""
+        """Deferred, THROTTLED pool-saturation warning: every
+        ``saturation_check_interval`` calls, inspect a PREVIOUS call's
+        candidate counts (device work long since complete) and log when the
+        pre_topk pool dropped candidates. Throttling matters because the
+        readback is a device->host round trip — negligible on local TPU,
+        visible per-call through a remote tunnel (measured ~15% of the
+        KITTI fused step). ``last_det_meta`` always carries the newest
+        (lazy) arrays for callers who want exact per-batch counts."""
         if self._pending_sat is None:
             return
+        self._sat_calls += 1
+        if self._sat_calls < self.saturation_check_interval:
+            return
+        self._sat_calls = 0
         n_cand, pre_topk = self._pending_sat
         self._pending_sat = None
         n_cand = np.asarray(n_cand)
@@ -511,11 +526,13 @@ class FusedDepthPipeline:
         # slower through the single-chip axon tunnel, see shard_batch)
         if self.mesh is not None and self.mesh.devices.size > 1:
             frames = shard_batch(self.mesh, frames)
-        depth, n_cand, pre_topk = self._fns[shape](
+        depth, n_cand, _pre_topk_dev = self._fns[shape](
             self.variables, self.detector_params, self.class_table, frames
         )
-        # serving meta: lazy device arrays — consumers (and the next call's
-        # deferred warning) read them after the batch completes
+        # serving meta: n_candidates stays a lazy device array — consumers
+        # (and the throttled deferred warning) read it after the batch
+        # completes; pre_topk is the trace-time static value (no readback)
+        pre_topk = self._static_meta.get(shape, {}).get("pre_topk")
         self.last_det_meta = {"n_candidates": n_cand, "pre_topk": pre_topk}
         self._pending_sat = (n_cand, pre_topk)
         return depth
