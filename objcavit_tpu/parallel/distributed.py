@@ -103,6 +103,14 @@ def initialize_distributed(
         return False
     import jax
 
+    if os.environ.get("OBJCAVIT_CPU_GLOO"):
+        # CPU multi-process testing (scripts/launch_multiprocess.py
+        # --cpu-devices): cross-process CPU collectives need the gloo
+        # backend configured before the first backend use; the platform
+        # switch goes through jax.config because a site-level jax preimport
+        # can make the JAX_PLATFORMS env var too late
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(**args)
     return True
 
