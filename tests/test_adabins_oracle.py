@@ -25,6 +25,7 @@ from objcavit_tpu.utils.torch_import import convert_state_dict
 
 from tests.test_backward_oracle import _torch_bins_chamfer, _torch_silog
 from tests.test_dfe_oracle import TorchEncoder, _randomize
+from tests.test_dfe_oracle_v2 import TorchV2Encoder, _randomize_v2
 from tests.test_fullmodel_oracle import _TorchDFE
 
 pytestmark = pytest.mark.slow  # full-model jit compile + torch forward
@@ -107,12 +108,22 @@ class TorchAdaBins(tnn.Module):
         return depth, edges
 
 
-def _build_pair():
+ENCODERS = {
+    # b-series (gen-efficientnet naming/TF-SAME) and v2 (torchvision
+    # naming + head BN+SiLU): both converter dispatch paths, so the v2
+    # family's BACKWARD parity is pinned too (previously forward-only,
+    # tests/test_dfe_oracle_v2.py)
+    "efficientnet-tiny": (TorchEncoder, _randomize),
+    "efficientnet-v2-tiny": (TorchV2Encoder, _randomize_v2),
+}
+
+
+def _build_pair(name="efficientnet-tiny"):
     torch.manual_seed(23)
     rng = np.random.default_rng(31)
-    name = "efficientnet-tiny"
-    oracle = TorchAdaBins(ENCODER_SPECS[name])
-    _randomize(oracle, rng)
+    enc_cls, randomize = ENCODERS[name]
+    oracle = TorchAdaBins(ENCODER_SPECS[name], enc_cls=enc_cls)
+    randomize(oracle, rng)
     with torch.no_grad():
         for mod in oracle.adaptive_bins_layer.modules():
             if isinstance(mod, (tnn.Linear, tnn.MultiheadAttention)):
@@ -132,8 +143,9 @@ def _build_pair():
     return oracle, model, variables, rng
 
 
-def test_adabins_converted_weights_full_forward_parity():
-    oracle, model, variables, rng = _build_pair()
+@pytest.mark.parametrize("name", list(ENCODERS), ids=["b-series", "v2"])
+def test_adabins_converted_weights_full_forward_parity(name):
+    oracle, model, variables, rng = _build_pair(name)
     b, h, w = 2, 384, 384  # dense 192x192 -> 144 patches >= 129 tokens
     img = rng.standard_normal((b, 3, h, w)).astype(np.float32) * 0.5
     with torch.no_grad():
@@ -151,10 +163,11 @@ def test_adabins_converted_weights_full_forward_parity():
     )
 
 
-def test_adabins_backward_parity():
+@pytest.mark.parametrize("name", list(ENCODERS), ids=["b-series", "v2"])
+def test_adabins_backward_parity(name):
     """End-to-end grads of the composite train loss through both stacks
     (the backward harness of test_backward_oracle.py, AdaBins family)."""
-    oracle, model, variables, rng = _build_pair()
+    oracle, model, variables, rng = _build_pair(name)
     b, h, w = 2, 384, 384
     img = rng.standard_normal((b, 3, h, w)).astype(np.float32) * 0.5
     gt = rng.uniform(0.0005, 9.5, (b, 1, h, w)).astype(np.float32)
@@ -174,9 +187,7 @@ def test_adabins_backward_parity():
         )
     for k, v in oracle.state_dict().items():
         grads_sd.setdefault(f"model.{k}", np.zeros_like(v.numpy()))
-    want_grads = convert_state_dict(grads_sd, "adabins", "efficientnet-tiny")[
-        "params"
-    ]
+    want_grads = convert_state_dict(grads_sd, "adabins", name)["params"]
 
     loss_wrapper = LossWrapper(["silog", "bins_chamfer"], [1, 0.1])
     j_img = jnp.asarray(img.transpose(0, 2, 3, 1))
