@@ -63,7 +63,11 @@ class DeviceLoader:
         # global device batch from the local shards
         # (parallel/distributed.shard_host_local_batch). torch
         # DistributedSampler semantics, what Lightning DDP gave the
-        # reference's loaders (main.py:129-131).
+        # reference's loaders (main.py:129-131). The assembled global batch
+        # holds each process's rows as a contiguous block, i.e. a PERMUTED
+        # sample order vs single-process — losses, gradients, and metrics
+        # are permutation-invariant across the batch dim, so the training
+        # semantics are unchanged.
         import jax
 
         self._pid = jax.process_index()
